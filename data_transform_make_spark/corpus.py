@@ -1,0 +1,822 @@
+"""Oracle-checked query corpus — the driver contract surface.
+
+Each entry: a named PySpark query (callable ``(spark, sf_dir) -> DataFrame``)
+plus, where SQL-expressible, a DuckDB ANSI-SQL twin run over the same parquet
+tables. Names key into SURVEY.md §2 operator ids so coverage is auditable.
+
+Hash-stability rules (the driver compares row-count + schema + order-
+insensitive value hash):
+  * money/double aggregates: cast to DECIMAL before SUM (exact, order-
+    independent), cast the result back to DOUBLE — identical bytes on both
+    engines;
+  * timestamps in output: cast to string (sidesteps tz-naive vs session-tz);
+  * ratios: integer-derived double division only (exact IEEE, same operands
+    -> same bits);
+  * window orders: always totally ordered (explicit tie-break columns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.js_compat import default_if_falsy, js_parse_int
+from .functions.text import (
+    LANG_STOPWORDS,
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_count,
+)
+from .operators.dedup import (
+    embedding_near_dup_pairs,
+    first_wins_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from .operators.joins import as_of_join, bucketed_range_join
+from .operators.similarity import brute_force_topk, lsh_bucket_topk
+from .operators.windows import sessionize, top_k_per_group
+from .sources.loader import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec_sum(col, scale: int = 2):
+    """Order-independent exact sum of a double column: decimal-cast, sum,
+    back to double. DuckDB twin: CAST(SUM(CAST(x AS DECIMAL(28,s))) AS DOUBLE)."""
+    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# M1 relational core (SURVEY.md §2.2-2.5)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "p1_status_gate",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def p1_status_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 (makeRouter.js:81): drop rows failing a status equality gate."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@_register(
+    "p4_first_wins_dedup",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+    FROM (
+      SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+             row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                                ORDER BY l_linenumber, l_quantity) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def p4_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (makeRouter.js:86,99-101): order-sensitive first-wins dedup —
+    window row_number, NOT dropDuplicates (SURVEY.md §7.4.3).
+
+    The window order must be TOTAL for cross-engine determinism: the
+    fixture lineitem has duplicate (orderkey, partkey, linenumber) rows, so
+    l_quantity joins the order as a tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+    return first_wins_dedup(li, ["l_orderkey", "l_partkey"], ["l_linenumber", "l_quantity"])
+
+
+@_register(
+    "t7_js_parse_int",
+    r"""
+    SELECT l_returnflag,
+           SUM(COALESCE(TRY_CAST(NULLIF(regexp_extract(
+                 l_linenumber || l_returnflag, '^\s*([+-]?\d+)', 1), '') AS BIGINT), 0)
+           ) AS parsed_sum,
+           SUM(CASE WHEN NULLIF(regexp_extract(
+                 l_returnflag, '^\s*([+-]?\d+)', 1), '') IS NULL
+               THEN 1 ELSE 0 END) AS nan_count
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def t7_js_parse_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 (makeRouter.js:89 etc.): JS parseInt semantics — leading-digit
+    parse of mixed strings, NaN->NULL on no digits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mixed = F.concat(F.col("l_linenumber").cast("string"), F.col("l_returnflag"))
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.coalesce(js_parse_int(mixed), F.lit(0))).alias("parsed_sum"),
+        F.sum(
+            F.when(js_parse_int(F.col("l_returnflag")).isNull(), 1).otherwise(0)
+        ).alias("nan_count"),
+    )
+
+
+@_register(
+    "t5_falsy_defaults",
+    """
+    SELECT o_orderpriority,
+           CASE WHEN s IS NULL OR s = '' THEN 'DEFAULT' ELSE s END AS defaulted,
+           count(*) AS n
+    FROM (SELECT o_orderpriority, NULLIF(o_orderstatus, 'F') AS s FROM orders)
+    GROUP BY 1, 2
+    """,
+)
+def t5_falsy_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 (makeRouter.js:63,67-72): `x || default` JS-falsiness defaulting."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.nullif(F.col("o_orderstatus"), F.lit("F"))
+    return o.select(
+        "o_orderpriority", default_if_falsy(s, "DEFAULT").alias("defaulted")
+    ).groupBy("o_orderpriority", "defaulted").agg(F.count("*").alias("n"))
+
+
+@_register(
+    "j1_lookup_join",
+    """
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+             AS revenue,
+           SUM(l_quantity) AS sum_qty,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def j1_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (makeRouter.js:104): the N+1 point-lookup loop as one broadcast
+    equi join (dimension side broadcast; facts never shuffle for the join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey, "inner"
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("p_brand").agg(
+        _dec_sum(disc, 4).alias("revenue"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+             AS sum_disc_price,
+           SUM(l_quantity) / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with decimal-exact money sums.
+    The filter pushes to the parquet scan; aggregation is map-side combined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "sum_disc_price"
+            ),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "a1_a2_order_counter_deltas",
+    """
+    WITH f AS (
+      SELECT l_orderkey, l_partkey, l_quantity, l_linenumber
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ), d AS (
+      SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                                   ORDER BY l_linenumber, l_quantity) AS rn
+      FROM f
+    ), agg AS (
+      SELECT l_partkey, SUM(l_quantity) AS demand, count(*) AS n_lines
+      FROM d WHERE rn = 1 GROUP BY l_partkey
+    )
+    SELECT p_partkey AS part_key, CAST(p_size * 100 AS BIGINT) AS stock,
+           demand, CAST(p_size * 100 - demand AS DOUBLE) AS new_stock, n_lines
+    FROM agg JOIN part ON p_partkey = l_partkey
+    """,
+)
+def a1_a2_order_counter_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship §3.1 restatement (A1/A2, makeRouter.js:107-118) on TPC-H
+    roles: orders⋈lineitem → first-wins dedup → demand per part → counter
+    merge against synthetic stock (p_size*100)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    part = load_table(spark, sf_dir, "part")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_linenumber"
+    )
+    deduped = first_wins_dedup(lines, ["l_orderkey", "l_partkey"], ["l_linenumber", "l_quantity"])
+    agg = deduped.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("demand"), F.count("*").alias("n_lines")
+    )
+    stock = (F.col("p_size") * 100).cast("long")
+    return agg.join(F.broadcast(part), agg.l_partkey == part.p_partkey).select(
+        F.col("p_partkey").alias("part_key"),
+        stock.alias("stock"),
+        F.col("demand"),
+        (stock - F.col("demand")).cast("double").alias("new_stock"),
+        F.col("n_lines"),
+    )
+
+
+@_register(
+    "a3_insufficient_stock",
+    """
+    WITH agg AS (
+      SELECT l_partkey, SUM(l_quantity) AS demand
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_partkey AS part_key, CAST(p_size * 10 AS BIGINT) AS stock, demand
+    FROM agg JOIN part ON p_partkey = l_partkey
+    WHERE demand > p_size * 10
+    """,
+)
+def a3_insufficient_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (makeRouter.js:111-113): sufficiency-constraint violation split —
+    the rejects leg of the order pipeline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    agg = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("demand"))
+    stock = (F.col("p_size") * 10).cast("long")
+    return (
+        agg.join(F.broadcast(part), agg.l_partkey == part.p_partkey)
+        .filter(F.col("demand") > stock)
+        .select(
+            F.col("p_partkey").alias("part_key"), stock.alias("stock"), F.col("demand")
+        )
+    )
+
+
+@_register(
+    "a4_a6_status_transitions",
+    """
+    WITH t AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS curr_type, count(*) AS n
+    FROM t WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    GROUP BY prev_type, curr_type
+    """,
+)
+def a4_a6_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 restatement (P5+A4, makeRouter.js:149,178-189): derive previous
+    status in-engine via lag() (SURVEY.md §2.8), drop no-ops, count stage
+    transfers."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        t.filter(F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type")))
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "a5_counter_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def a5_counter_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-A6 counter maintenance as a fixed-domain pivot (statusMap's
+    status->column dictionary, makeRouter.js:165-176)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    p = ev.groupBy("user_id").pivot("event_type", types).count()
+    return p.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )
+
+
+@_register(
+    "x1_json_extract",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def x1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/§2.7 JSON path: semi-structured props column parsed in-plan
+    (get_json_object), aggregated exactly (ints)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3 windows / sort / limit / set ops / grouping sets (SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "w1_running_total",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           SUM(l_quantity) OVER (PARTITION BY l_suppkey
+                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 ROWS UNBOUNDED PRECEDING) AS running_qty
+    FROM lineitem
+    """,
+)
+def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-frame window: running sum per supplier (l_quantity is
+    integral, so double accumulation is exact in any engine)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(w).alias("running_qty"),
+    )
+
+
+@_register(
+    "w2_topk_per_group",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rank_in_group
+    FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+               AS rank_in_group
+      FROM lineitem
+    ) WHERE rank_in_group <= 5
+    """,
+)
+def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: ranking window + filter (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    order = [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")]
+    return top_k_per_group(li, ["l_returnflag"], order, 5)
+
+
+@_register(
+    "w3_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 3600
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), s AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (lag-gap + cumulative sum) — the batch twin of
+    streaming session_window (SURVEY.md §2.8)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    s = sessionize(ev, ["user_id"], "ts", 3600)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+@_register(
+    "w4_tumbling_window",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def w4_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (batch analog of streaming
+    window(); the streaming twin lives in streaming/pipelines.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("window_start"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), _dec_sum(F.col("value"), 6).alias("value_sum"))
+
+
+@_register(
+    "s1_set_ops",
+    """
+    (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+     INTERSECT
+     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def s1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT set operators."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    p = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(op).exceptAll(p.distinct())
+
+
+@_register(
+    "g1_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def g1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@_register(
+    "j2_as_of_join",
+    """
+    WITH views AS (
+      SELECT user_id, ts, CAST(MAX(value) AS DOUBLE) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS purchase_ts, v.view_value
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def j2_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): union-and-window composition —
+    each purchase picks the user's latest view at-or-before it. DuckDB's
+    native ASOF JOIN is the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").cast("double").alias("view_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = as_of_join(
+        purchases, views, ["user_id"], left_ts="ts", right_ts="ts",
+        right_value_cols=["view_value"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("ts").cast("string").alias("purchase_ts"), "view_value"
+    )
+
+
+@_register(
+    "j3_range_join",
+    """
+    SELECT p_size, count(*) AS n_lines, SUM(l_quantity) AS sum_qty
+    FROM lineitem JOIN part
+      ON l_quantity >= p_size - 2 AND l_quantity <= p_size + 2
+    GROUP BY p_size
+    """,
+)
+def j3_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (point-in-interval) join, bucketized to an equi hash join on
+    the bucket grid instead of a nested loop.
+
+    Scale move: the point side is pre-aggregated to its distinct values
+    first (~50 quantities regardless of row count), so the range join's
+    blow-up is |distinct points| x |intervals|, not |rows| x |intervals| —
+    the join output shrinks from ~1B rows to ~100k at sf0.1."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+    qagg = li.groupBy("l_quantity").agg(F.count("*").alias("__n"))
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        (F.col("p_size") - 2).cast("double").alias("lo"),
+        (F.col("p_size") + 2).cast("double").alias("hi"),
+    )
+    joined = bucketed_range_join(qagg, part, "l_quantity", "lo", "hi", bucket_width=5.0)
+    return joined.groupBy("p_size").agg(
+        F.sum("__n").alias("n_lines"),
+        F.sum(F.col("l_quantity") * F.col("__n")).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M5 LLM-data-pipeline operators (SURVEY.md §2.10)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "d1_exact_dedup",
+    """
+    SELECT doc_id, text FROM (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY md5(regexp_replace(trim(lower(text)),
+                                                '\\s+', ' ', 'g'))
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content fingerprint, keep smallest doc_id.
+    One shuffle keyed by the 128-bit digest (bounded key width at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.partitionBy(doc_fingerprint(F.col("text"))).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@_register(
+    "ta1_text_stats",
+    r"""
+    SELECT doc_id,
+           CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END
+             AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS n_tokens,
+           CASE WHEN len(text) = 0 THEN 0.0
+                ELSE CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+                          AS DOUBLE) / len(text) END
+             AS punct_ratio
+    FROM documents
+    """,
+)
+def ta1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: word/token counts + punctuation ratio, all native
+    expressions (map-only, scan-speed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        word_count("text").alias("n_words"),
+        token_count("text").alias("n_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+def _duck_lang_sql() -> str:
+    score = lambda words: (
+        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"t -> t IN ({', '.join(repr(w) for w in words)})))"
+    )
+    s = {lang: score(words) for lang, words in LANG_STOPWORDS.items()}
+    stop = ", ".join(repr(w) for w in STOPWORDS)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS true_lang,
+             {s['en']} AS s_en, {s['de']} AS s_de, {s['es']} AS s_es, {s['fr']} AS s_fr,
+             CASE WHEN len(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                            t -> t IN ({stop}))) AS DOUBLE)
+                       / len(regexp_split_to_array(trim(lower(text)), '\\s+')) END
+               AS stop_ratio
+      FROM documents
+    )
+    SELECT doc_id, true_lang,
+           CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) <= 0 THEN 'und'
+                WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de = GREATEST(s_de, s_es, s_fr) THEN 'de'
+                WHEN s_es = GREATEST(s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_guess,
+           stop_ratio
+    FROM scored
+    """
+
+
+@_register("ta2_lang_id", _duck_lang_sql())
+def ta2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword profiles) + stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        lang_id("text").alias("lang_guess"),
+        stopword_ratio("text").alias("stop_ratio"),
+    )
+
+
+@_register(
+    "ta3_quality_score",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN len(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END AS len_ok,
+             CASE WHEN (CASE WHEN len(text) = 0 THEN 0.0
+                         ELSE CAST(len(text) - len(regexp_replace(text,
+                              '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) END)
+                       <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
+             CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0.0
+                         ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)),
+                              '\s+'), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+                              AS DOUBLE)
+                              / len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
+                       >= 0.05 THEN 1.0 ELSE 0.0 END AS stop_ok
+      FROM documents
+    )
+    SELECT doc_id, (len_ok + punct_ok + stop_ok) / 3.0 AS quality
+    FROM m
+    """,
+)
+def ta3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (deterministic heuristic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+@_register(
+    "ta4_doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def ta4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined document fingerprint (md5 over normalized text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+@_register(
+    "d2_ngram_jaccard",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, u.sh
+      FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
+                         FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    """,
+)
+def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: exact 3-gram Jaccard >= 0.2 via shingle inverted
+    index (no all-pairs cross join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.2)
+
+
+@_register("d3_minhash_lsh")  # no SQL twin: xxhash64 family not in DuckDB
+def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (rows-only driver check; recall vs
+    exact Jaccard is asserted in tests/test_dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.2
+    )
+
+
+@_register("d4_simhash")  # no SQL twin: xxhash64 not in DuckDB
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only driver check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=12)
+
+
+@_register(
+    "d5_embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= 0.9
+    """,
+)
+def d5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (ids only — float-boundary-safe
+    output; cosine math in double on both engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.9).select(
+        "id_a", "id_b"
+    )
+
+
+@_register(
+    "n1_topk_cosine",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id FROM embeddings, q
+    ORDER BY list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))) DESC,
+             vec_id
+    LIMIT 10
+    """,
+)
+def n1_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-10 cosine neighbors of vec_id=0 (ids only).
+    Compiles to TakeOrderedAndProject: per-partition heaps, no full sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query_vec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return brute_force_topk(emb, "embedding", [float(x) for x in query_vec], k=10).select(
+        "vec_id"
+    )
+
+
+@_register("n2_lsh_topk")  # approximate: rows-only check; recall tested in tests/
+def n2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (hyperplane signatures prune the scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query_vec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_bucket_topk(
+        emb, "embedding", [float(x) for x in query_vec], k=10, n_planes=8,
+        multiprobe_hamming=2,
+    ).select("vec_id")
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -1,0 +1,32 @@
+from .js_compat import default_if_falsy, js_parse_int, js_str_falsy, qty_falsy
+from .text import (
+    doc_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    shingles,
+    stopword_ratio,
+    token_count,
+    tokens,
+    word_count,
+)
+from .vectors import cosine_similarity, dot, l2_norm
+
+__all__ = [
+    "default_if_falsy",
+    "js_parse_int",
+    "js_str_falsy",
+    "qty_falsy",
+    "doc_fingerprint",
+    "lang_id",
+    "punct_ratio",
+    "quality_score",
+    "shingles",
+    "stopword_ratio",
+    "token_count",
+    "tokens",
+    "word_count",
+    "cosine_similarity",
+    "dot",
+    "l2_norm",
+]

@@ -1,0 +1,116 @@
+"""Text-analysis column functions for the `documents` table (SURVEY.md §2.10).
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no Python UDFs.
+Each has a 1:1 ANSI-SQL twin in ``__spark_entry__.oracle_sql`` so the DuckDB
+oracle checks byte-identical semantics. At 100 TB these are embarrassingly
+parallel map-only ops: no shuffle, run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the heuristic language-ID.
+# Deterministic and SQL-expressible — accuracy is not the point, a stable
+# documented heuristic is (the fixture text is synthetic).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+# Common English stopwords for the quality score.
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text; empty/blank -> []."""
+    t = F.trim(F.lower(_c(col)))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def word_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def token_count(col: Column | str) -> Column:
+    """BPE-ish subword count: word-piece regex — runs of letters, runs of
+    digits, or single non-space symbols — a cheap deterministic proxy for a
+    tokenizer's token count."""
+    # regexp_count of the token pattern over the raw text
+    return F.regexp_count(_c(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).cast("long")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (0.0 for empty text)."""
+    c = _c(col)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(c).cast("double")
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Fraction of whitespace tokens that are stopwords (0.0 for empty)."""
+    toks = tokens(col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    stopword presence. Deterministic, documented, SQL-twinned."""
+    c = _c(col)
+    len_ok = F.when((F.length(c) >= 50) & (F.length(c) <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(c) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(c) >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + stop_ok) / F.lit(3.0)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-profile language guess; 'und' when no profile matches.
+
+    Scores each language by how many of its profile words occur as tokens;
+    ties break by profile order (en, de, es, fr) via strictly-greater
+    comparison on a left fold.
+    """
+    toks = tokens(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, words in LANG_STOPWORDS.items():
+        score = F.size(F.filter(toks, lambda t: t.isin(*words)))
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of whitespace-normalized,
+    lowercased text. Stable across engines (md5 in both Spark and DuckDB)."""
+    norm = F.regexp_replace(F.trim(F.lower(_c(col))), r"\s+", " ")
+    return F.md5(norm)
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles: array of space-joined n-token windows.
+
+    Texts with fewer than n tokens yield a single shingle of all tokens, so
+    short documents still participate in Jaccard/MinHash dedup.
+    """
+    toks = tokens(col)
+    k = F.size(toks)
+    n_sh = F.greatest(k - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n_sh)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(k == 0, F.array().cast("array<string>")).otherwise(sh)

@@ -1,0 +1,261 @@
+"""Deduplication operators: exact, first-wins, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup (SURVEY.md §2.2 P4, §2.10).
+
+Scale notes (the 100 TB design point):
+  * ``first_wins_dedup`` is one shuffle on the key (window + row_number) —
+    the only correct replication of the reference's order-sensitive Set
+    dedup (makeRouter.js:86,99-101,127) under parallelism; ``dropDuplicates``
+    picks an arbitrary row per key across partitions (SURVEY.md §7.4.3).
+  * MinHash/SimHash signatures are map-side (explode + partial agg); the LSH
+    band join turns O(n²) all-pairs into per-bucket joins — the only shuffles
+    are the signature groupBy and the band-bucket self-join.
+  * All hashing is ``xxhash64`` — JVM-side, codegen'd, deterministic across
+    runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+
+def first_wins_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Keep the first row per key under an explicit total order.
+
+    Replicates the reference's ``updatedInventoryIds`` Set semantics
+    (makeRouter.js:86,99-101): array position decides the winner, so callers
+    must carry a line-number column (``posexplode``) into ``order_cols``.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-duplicate removal: keep the smallest id per identical text.
+
+    Hash-groupBy on the text (one shuffle keyed by the text value; at scale
+    group by ``sha2(text, 256)`` instead to bound shuffle-key width — the
+    semantics are identical for exact dedup).
+    """
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _minhash_cols(shingle: Column, num_hashes: int) -> list[Column]:
+    # Seeded hash family: xxhash64 over (seed-tag || shingle). JVM-side.
+    return [
+        F.xxhash64(F.concat(F.lit(f"mh{i}|"), shingle)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature as ``array<long>`` of length num_hashes.
+
+    explode(shingles) → per-hash partial min (map-side combine) → one shuffle
+    on the doc id. Documents with no tokens get no signature (dropped here;
+    they cannot be near-duplicates of anything).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("__sh")
+    )
+    hashed = sh.select(id_col, *_minhash_cols(F.col("__sh"), num_hashes))
+    agg = hashed.groupBy(id_col).agg(
+        F.array(*[F.min(f"h{i}") for i in range(num_hashes)]).alias("minhash")
+    )
+    return agg
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding over MinHash signatures.
+
+    signature → ``bands`` band-hashes → explode → self-join on
+    (band index, band hash) → distinct pairs → estimated Jaccard = fraction
+    of agreeing minhash positions; keep pairs >= threshold.
+
+    Shuffle profile: one groupBy for signatures, one self-join keyed on the
+    band hash (bucket sizes are data-dependent; hot buckets are exact
+    duplicates and collapse under AQE skew handling).
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", *[F.element_at("minhash", i * rows_per_band + j + 1).cast("string") for j in range(rows_per_band)])
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col).alias("__id"),
+        F.col("minhash"),
+        F.posexplode(band_arr).alias("band_idx", "band_hash"),
+    )
+    left = banded.select(
+        F.col("__id").alias("id_a"), F.col("minhash").alias("mh_a"), "band_idx", "band_hash"
+    )
+    right = banded.select(
+        F.col("__id").alias("id_b"), F.col("minhash").alias("mh_b"), "band_idx", "band_hash"
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "mh_a", "mh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("mh_a", "mh_b", lambda a, b: a == b), lambda x: x)
+    )
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document over whitespace tokens.
+
+    Classic construction: hash each token to 64 bits; for each bit position
+    sum +1/-1 across tokens; the sign vector is the fingerprint. Entirely
+    JVM-side: explode → 64 conditional-sum aggregates (map-side combined)
+    → bit-pack. One shuffle on the doc id.
+    Returns (id_col, simhash: long).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    h = F.xxhash64(F.col("__t"))
+    bit_sums = [
+        F.sum(
+            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    packed = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    return sums.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Blocking: split the 64-bit fingerprint into 4 16-bit chunks — any pair
+    within Hamming distance <= 3 shares at least one exact chunk (pigeonhole);
+    for larger radii this is a recall-bounded heuristic that keeps the join
+    keyed instead of all-pairs. Returns (id_a, id_b, hamming).
+    """
+    sig = simhash64(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF).cast("long"))
+            for i in range(4)
+        ]
+    )
+    blocked = sig.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    )
+    left = blocked.select(F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk")
+    right = blocked.select(F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk")
+    pairs = (
+        left.join(right, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Set-oriented (no all-pairs cross join): explode distinct shingles, self-
+    join on the shingle to count intersections, join back per-doc set sizes,
+    Jaccard = inter / (|A| + |B| - inter). The shingle join only pairs
+    documents that share at least one shingle — at 100 TB the join key is the
+    shingle hash and hot shingles (stop-phrases) should be pre-filtered by
+    document frequency; here the fixture vocabulary is small so AQE's skew
+    join handles it.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("__sh"),
+    )
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.__sh") == F.col("b.__sh"))
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__inter"))
+    )
+    joined = (
+        inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+    )
+    jac = F.col("__inter").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__inter")
+    ).cast("double")
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (>= threshold).
+
+    Brute-force O(n²) variant — correct baseline, oracle-checkable. At scale
+    swap in :func:`..operators.similarity.lsh_bucket_topk`'s hyperplane
+    bucketing to block the join. Returns (id_a, id_b, cosine).
+    """
+    from ..functions.vectors import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,127 @@
+"""Join operators: broadcast lookup, as-of, range (SURVEY.md §2.4 J1, §2.6).
+
+The reference's only join is an N+1 point-lookup loop over HTTP
+(makeRouter.js:88-128, :160) — here it is one set-oriented equi join with the
+dimension side broadcast, which is the whole reason the Spark restatement is
+faster: N sequential round-trips collapse into zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lookup_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Set-oriented replacement for the reference's per-row GET
+    (makeRouter.js:104, :160): facts ⋈ broadcast(dim) on the key.
+
+    ``broadcast_dim=True`` is right whenever dim fits in executor memory
+    (inventory, status dimensions, any <100 MB table); flip it off for
+    dim tables that are themselves fact-sized and let AQE choose.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return facts.join(d, on, how)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same key.
+
+    Spark has no native as-of join; this is the union-and-window
+    composition: tag both sides, union on (key, ts), carry right values
+    forward with ``last(..., ignorenulls=True)`` over an ordered window,
+    then keep the left rows. One shuffle on the key — no range explosion,
+    no per-group Python — and it scales to arbitrarily large BOTH sides
+    (vs. ``merge_asof`` in applyInPandas which needs each group to fit in
+    memory). Right-side ties on ts break toward the later row in frame
+    order (right rows sort before left rows at equal ts, so an equal-ts
+    right row IS visible to the left row — the `<=` convention).
+    """
+    if right_value_cols is None:
+        right_value_cols = [c for c in right.columns if c not in key_cols and c != right_ts]
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in key_cols],
+        *[F.col(k) for k in key_cols],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    ).select(*lcols, "__ts", "__side", *[f"__r_{c}" for c in right_value_cols])
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *lcols,
+        F.col("__ts"),
+        F.col("__side"),
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in right_value_cols],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__ts", "__side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Theta/range join on an arbitrary condition.
+
+    A bare non-equi condition compiles to BroadcastNestedLoopJoin — fine when
+    one side broadcasts. For big-big range joins, pre-bucketize the range key
+    on both sides (floor(key / bucket_width)), equi-join on the bucket grid,
+    then re-apply the exact predicate — that keeps the join keyed. Use
+    :func:`bucketed_range_join` for that shape.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, condition, how)
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join at scale: explode each right interval into the
+    bucket grid cells it overlaps, equi-join on the left point's cell, then
+    re-check the exact predicate. Turns a nested-loop into a hash join keyed
+    by ``floor(point / width)``; choose width ≈ median interval length.
+    """
+    lb = left.withColumn("__bucket", F.floor(F.col(left_point) / F.lit(bucket_width)).cast("long"))
+    buckets = F.sequence(
+        F.floor(F.col(right_lo) / F.lit(bucket_width)).cast("long"),
+        F.floor(F.col(right_hi) / F.lit(bucket_width)).cast("long"),
+    )
+    rb = right.withColumn("__bucket", F.explode(buckets))
+    joined = lb.join(rb, "__bucket", how).filter(
+        (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi))
+    )
+    return joined.drop("__bucket")

@@ -1,0 +1,55 @@
+"""Window-function operators: top-k per group, sessionization, transitions
+(SURVEY.md §2.6, §2.8).
+
+The reference has no window functions; the engine exposes Spark's natively.
+Every helper here is a single shuffle on its partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_col: Column, k: int
+) -> DataFrame:
+    """Top-k rows per group: rank over a window, keep rank <= k.
+
+    Compiles to one shuffle on group_cols + in-partition sort; at scale the
+    window sort is bounded per group (no global sort).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= k)
+    )
+
+
+def with_previous(
+    df: DataFrame, key_cols: list[str], ts_col: str, value_col: str, out_col: str = "prev_value"
+) -> DataFrame:
+    """Derive the previous value per key ordered by time — the in-engine
+    alternative to the reference's upstream-supplied ``Previous_Status``
+    (makeRouter.js:145; SURVEY.md §2.8 ordering hazard)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col))
+    return df.withColumn(out_col, F.lag(value_col).over(w))
+
+
+def sessionize(
+    df: DataFrame, key_cols: list[str], ts_col: str, gap_seconds: int
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the previous
+    event (per key) exceeds ``gap_seconds``.
+
+    lag + conditional cumsum — the batch twin of streaming
+    ``session_window``; one shuffle on the key.
+    Adds ``session_id`` (1-based per key).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col))
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )

@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for the test/bench environment.
+
+Local mode is a single JVM; ``spark.driver.memory`` is the only memory knob.
+On a real cluster the same conf block applies minus the master/memory lines:
+AQE handles skew/coalesce at runtime, shuffle partitions sized to the stage.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "data_transform_make_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-sane defaults.
+
+    ``SPARK_GRAFT_CPUS`` overrides parallelism (bench contract).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_session_conf(spark: SparkSession) -> SparkSession:
+    """Pin runtime-mutable conf we rely on, on an externally-created session.
+
+    The driver owns the session used for correctness runs; these are the
+    runtime-settable invariants our queries assume (UTC timestamps so the
+    DuckDB oracle sees the same instants; AQE on for skew/coalesce).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

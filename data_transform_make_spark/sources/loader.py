@@ -1,0 +1,60 @@
+"""Table loader for the driver-generated Parquet fixtures (TESTDATA.md).
+
+Parquet scans are the engine's default source: columnar, predicate-pushdown,
+column-pruned by Catalyst. Loading is lazy — a ``load_table`` is just a scan
+node until an action runs, so queries that project 2 columns read 2 columns
+(``.explain`` shows ReadSchema), which is the behavior that matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import pin_session_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy Parquet scan of one fixture table.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the fixture parquet, which Spark
+    does not support natively: read it as raw nanos (legacy long mode) and
+    truncate to microseconds with integer division — byte-identical to
+    DuckDB's nanos->micros truncating read, so oracle comparisons agree.
+    """
+    pin_session_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F  # local import keeps module load light
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register every fixture table as a temp view for the SQL API."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,70 @@
+"""Property + example tests for the JS-coercion helpers (SURVEY.md §7.4.1-2).
+
+The hypothesis property test cross-checks js_parse_int against a Python
+reimplementation of JS parseInt on arbitrary strings.
+"""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_transform_make_spark.functions.js_compat import (
+    default_if_falsy,
+    js_parse_int,
+    js_str_falsy,
+    qty_falsy,
+)
+
+_LEAD = re.compile(r"^\s*([+-]?\d+)")
+
+
+def py_js_parse_int(s):
+    if s is None:
+        return None
+    m = _LEAD.match(s)
+    return int(m.group(1)) if m else None
+
+
+def test_js_parse_int_examples(spark):
+    cases = [" 12x", "abc", "", None, "-7", "3.9", "0", "  +42 ", "9 lives", "x9"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r.v for r in df.select(js_parse_int("s").alias("v")).collect()]
+    assert got == [py_js_parse_int(c) for c in cases]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(max_size=12), min_size=1, max_size=30))
+def test_js_parse_int_property(spark_global, strings):
+    df = spark_global.createDataFrame([(s,) for s in strings], "s string")
+    got = [r.v for r in df.select(F.col("s"), js_parse_int("s").alias("v")).collect()]
+    assert got == [py_js_parse_int(s) for s in strings]
+
+
+# hypothesis can't take the pytest fixture directly; module-level session
+def pytest_configure():
+    pass
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark_global():
+    from data_transform_make_spark.session import get_spark
+
+    return get_spark("tests", cpus=4)
+
+
+def test_falsiness(spark):
+    df = spark.createDataFrame([("",), (None,), ("0",), ("x",), (" ",)], "s string")
+    rows = df.select(
+        js_str_falsy("s").alias("f"),
+        qty_falsy("s").alias("q"),
+        default_if_falsy("s", "D").alias("d"),
+    ).collect()
+    # JS: ''/null falsy; '0' truthy as string but qty-falsy; ' ' truthy (no trim)
+    assert [r.f for r in rows] == [True, True, False, False, False]
+    assert [r.q for r in rows] == [True, True, True, True, True]  # ' ' and 'x' parseInt->NaN
+    assert [r.d for r in rows] == ["D", "D", "0", "x", " "]
