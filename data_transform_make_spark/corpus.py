@@ -814,6 +814,174 @@ def n2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+# ---------------------------------------------------------------------------
+# M3 continued: strings / dates / global sort / cube (SURVEY.md §2.6-2.7)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "u1_string_funcs",
+    """
+    SELECT p_partkey, upper(p_name) AS name_upper, length(p_name) AS n_chars,
+           regexp_replace(p_name, ' ', '_', 'g') AS snake,
+           concat_ws('|', p_brand, p_type) AS tag,
+           substr(p_name, 1, 5) AS prefix,
+           trim(p_name) AS trimmed
+    FROM part
+    """,
+)
+def u1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 string surface: upper/length/regexp_replace/concat_ws/substr/trim
+    — all codegen'd scalar expressions."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("n_chars"),
+        F.regexp_replace("p_name", " ", "_").alias("snake"),
+        F.concat_ws("|", "p_brand", "p_type").alias("tag"),
+        F.substring("p_name", 1, 5).alias("prefix"),
+        F.trim(F.col("p_name")).alias("trimmed"),
+    )
+
+
+@_register(
+    "dt1_date_buckets",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def dt1_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 date/time surface: date_trunc/year bucketing (the reference has
+    no dates; the fixture tables do — SURVEY.md §2.7)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "order_month"
+        ),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@_register(
+    "g2_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def g2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 grouping combinations)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), _dec_sum(F.col("o_totalprice"), 2).alias("total_price")
+    )
+
+
+@_register(
+    "w5_global_topk",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def w5_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps + driver k-merge, never a full sort at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 streaming (SURVEY.md §2.8) — real Structured Streaming runs whose final
+# state a batch oracle can check
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "st1_stream_window_agg",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st1_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation executed as a REAL streaming
+    query (readStream→window→memory sink, availableNow); oracle = the batch
+    GROUP BY twin."""
+    from .streaming.pipelines import streaming_window_agg
+
+    return streaming_window_agg(spark, sf_dir, window="1 hour")
+
+
+@_register(
+    "st2_stream_dedup",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def st2_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch idempotency: the stream unioned with itself, deduped by
+    event_id within the watermark — final counts equal the single-copy
+    batch counts (the retry-double-apply fix, SURVEY.md §2.8)."""
+    from .streaming.pipelines import streaming_dedup_count
+
+    return streaming_dedup_count(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# M5 multimodal plumbing (SURVEY.md §2.10)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mm1_media_metadata",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+)
+def mm1_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + typed metadata, computed natively (octet
+    length + sha-256 over the payload bytes)."""
+    from .multimodal.columns import attach_media_metadata, text_to_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_metadata(text_to_media(docs))
+    return media.select(
+        "media_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("payload_sha256"),
+    )
+
+
+@_register("mm2_media_decode")  # stub decode kernel: rows-only check
+def mm2_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode stage over binary payloads (deterministic stub
+    kernel — real plumbing: Arrow batches, typed output schema)."""
+    from .multimodal.columns import decode_images, text_to_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_images(text_to_media(docs))
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -1,0 +1,133 @@
+"""Structured Streaming pipelines (SURVEY.md §2.8, M4).
+
+The reference is a degenerate streaming system — one webhook per trigger,
+state externalized to Kintone, no watermarks, no idempotency (a retried
+webhook double-decrements, makeRouter.js:86 scopes dedup to one request).
+The engine re-expresses it with real streaming semantics:
+
+  * micro-batch triggers (``availableNow`` here; processingTime in prod)
+  * event-time watermarks + tumbling windows over the ``events`` table
+  * ``dropDuplicatesWithinWatermark`` for cross-batch idempotency — the
+    upgrade the reference lacks
+  * ``foreachBatch`` applying the §3.1 order pipeline per micro-batch (the
+    MERGE-per-batch execution model; with Delta this is an ACID MERGE)
+
+All helpers run the query to completion synchronously (memory sink +
+``processAllAvailable``) so batch oracles can check the results.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded source (schema from the batch read;
+    the nanos ts column is normalized identically)."""
+    # pin conf (nanosAsLong etc.) by going through the batch loader once
+    load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source needs a directory; glob-filter to the one table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return result.sparkSession.table(name)
+
+
+def streaming_window_agg(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation, run to completion.
+
+    Complete output mode so every window surfaces in one availableNow pass
+    (append would hold windows until the watermark crosses them — correct
+    for unbounded runs, empty for a single catch-up batch).
+    """
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch idempotency: duplicate the stream (union with itself),
+    dedup on event_id within the watermark, count per event_type.
+
+    This is the ``dropDuplicatesWithinWatermark`` upgrade over the
+    reference's per-request Set (SURVEY.md §2.8): a webhook retry (here a
+    whole duplicated stream) applies exactly once.
+    """
+    ev = stream_events(spark, sf_dir)
+    doubled = ev.unionByName(ev)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+    return _run_to_memory(agg, "complete")
+
+
+def streaming_order_pipeline(
+    spark: SparkSession, webhooks_stream: DataFrame, inventory: DataFrame
+) -> DataFrame:
+    """§3.1 as a stream: foreachBatch applies the batch order pipeline per
+    micro-batch and MERGEs the post-state into a driver-side accumulator
+    table (stand-in for a Delta MERGE sink — Delta jars absent in v1).
+
+    Returns the final inventory post-state after all batches.
+    """
+    from ..plans.order_pipeline import order_webhook_pipeline
+
+    state = {"inventory": inventory}
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        result = order_webhook_pipeline(batch_df, state["inventory"])
+        # materialize: the next micro-batch must read post-state, not a
+        # lazy plan over the previous state (unbounded lineage otherwise)
+        state["inventory"] = spark.createDataFrame(
+            result.updated_inventory.collect(), result.updated_inventory.schema
+        )
+
+    q = (
+        webhooks_stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return state["inventory"]

@@ -1,0 +1,82 @@
+"""Streaming pipeline tests (SURVEY.md §2.8): windowed agg parity with the
+batch twin, cross-batch idempotent dedup, and the §3.1 pipeline as a
+foreachBatch stream over rate-limited micro-batches."""
+
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from data_transform_make_spark.sources.loader import load_table
+from data_transform_make_spark.streaming.pipelines import (
+    streaming_dedup_count,
+    streaming_order_pipeline,
+    streaming_window_agg,
+)
+
+
+def test_stream_window_matches_batch(spark, sf_dir):
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in streaming_window_agg(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.window_start, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_is_idempotent(spark, sf_dir):
+    got = {r.event_type: r.n for r in streaming_dedup_count(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want  # doubled stream deduped back to single-copy counts
+
+
+ITEM = T.StructType(
+    [
+        T.StructField("inventory_id", T.StringType()),
+        T.StructField("bag_model_website", T.StringType()),
+        T.StructField("qty_website", T.StringType()),
+    ]
+)
+WEBHOOKS = T.StructType(
+    [
+        T.StructField("webhook_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("line_items", T.ArrayType(ITEM)),
+    ]
+)
+INVENTORY = T.StructType(
+    [
+        T.StructField("inventory_id", T.StringType()),
+        T.StructField("bag_model", T.StringType()),
+        T.StructField("general_stock_qty", T.IntegerType()),
+        T.StructField("qty_office", T.IntegerType()),
+    ]
+)
+
+
+def test_streaming_order_pipeline(spark, tmp_path):
+    rows = [
+        (1, "Approved", [("I1", "Tote", "3")]),
+        (2, "Approved", [("I1", "Tote", "4"), ("I2", "Duffel", "2")]),
+    ]
+    src = str(tmp_path / "webhooks")
+    spark.createDataFrame(rows, WEBHOOKS).coalesce(1).write.parquet(src)
+    inventory = spark.createDataFrame(
+        [("I1", "Tote", 10, 0), ("I2", "Duffel", 5, 1)], INVENTORY
+    )
+    stream = spark.readStream.schema(WEBHOOKS).parquet(src)
+    post = streaming_order_pipeline(spark, stream, inventory)
+    state = {r.inventory_id: r for r in post.collect()}
+    assert (state["I1"].general_stock_qty, state["I1"].qty_office) == (3, 7)
+    assert (state["I2"].general_stock_qty, state["I2"].qty_office) == (3, 3)
