@@ -2,8 +2,13 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
-Per-query timing includes plan + execution to a count() action (results are
-not collected to the driver — we measure engine throughput, not IPC).
+Per-query protocol: one untimed warmup run (pays whole-stage-codegen /
+Janino compilation — a fixed few-second cost that is noise at the 100 TB
+design point but 50-80% of wall time at sf0.1), then one timed run to a
+count() action (results are not collected to the driver — we measure engine
+throughput, not IPC). ``queries`` holds the steady-state seconds;
+``queries_cold`` the first-run seconds including compile, so both signals
+stay visible.
 """
 
 from __future__ import annotations
@@ -45,8 +50,12 @@ def main() -> None:
     corpus.queries()["p1_status_gate"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     qs = corpus.queries()
     for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -59,6 +68,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
                 "sf": sf,
             }
         )

