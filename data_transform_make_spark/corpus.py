@@ -944,6 +944,43 @@ def st2_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_dedup_count(spark, sf_dir)
 
 
+@_register(
+    "st3_stream_stateful_counters",
+    """
+    SELECT user_id, count(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def st3_stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running counters; after the availableNow pass the emitted state equals
+    the batch GROUP BY — the in-engine twin of the reference's external
+    counter store (makeRouter.js:104-124)."""
+    from .streaming.pipelines import streaming_stateful_counters
+
+    return streaming_stateful_counters(spark, sf_dir)
+
+
+@_register(
+    "st4_stream_stream_join",
+    """
+    SELECT a.user_id AS user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+           CAST(round(b.value * 100) AS BIGINT) AS purchase_cents
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+)
+def st4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds on both watermarked
+    sides (click→purchase attribution within 10 minutes)."""
+    from .streaming.pipelines import streaming_click_purchase_join
+
+    return streaming_click_purchase_join(spark, sf_dir, horizon_minutes=10)
+
+
 # ---------------------------------------------------------------------------
 # M5 multimodal plumbing (SURVEY.md §2.10)
 # ---------------------------------------------------------------------------

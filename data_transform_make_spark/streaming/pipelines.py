@@ -99,6 +99,86 @@ def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def streaming_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value-in-cents sum) counters — the in-engine
+    re-expression of the reference's externalized read-modify-write counter
+    state (makeRouter.js:104→120; SURVEY.md §2.8 'state' row).
+
+    State is an Arrow-batched per-key tuple; each trigger folds the batch
+    into it and emits the running totals (update mode). Money accumulates in
+    integer cents so the emitted totals are exact across engines. At scale
+    state lives in the state store (RocksDB provider on a cluster),
+    partitioned by the grouping key — no external store round-trips.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total_cents": [cents]})
+
+    res = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n bigint, total_cents bigint",
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(res, "update")
+
+
+def streaming_click_purchase_join(
+    spark: SparkSession, sf_dir: str, horizon_minutes: int = 10
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the clicks by
+    the same user in the preceding ``horizon_minutes``.
+
+    Both sides carry watermarks and the join condition bounds event time —
+    exactly the shape Structured Streaming needs to age join state out of
+    the state store (unbounded state otherwise). Inner join emits matches
+    as they arrive, so an availableNow pass equals the batch join.
+    """
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.round(F.col("purchase_value") * 100)).cast("long").alias("purchase_cents"),
+    )
+    return _run_to_memory(joined, "append")
+
+
 def streaming_order_pipeline(
     spark: SparkSession, webhooks_stream: DataFrame, inventory: DataFrame
 ) -> DataFrame:

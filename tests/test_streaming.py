@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 
 from data_transform_make_spark.sources.loader import load_table
 from data_transform_make_spark.streaming.pipelines import (
+    streaming_click_purchase_join,
     streaming_dedup_count,
     streaming_order_pipeline,
+    streaming_stateful_counters,
     streaming_window_agg,
 )
 
@@ -39,6 +41,48 @@ def test_stream_dedup_is_idempotent(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == want  # doubled stream deduped back to single-copy counts
+
+
+def test_stream_stateful_counters_match_batch(spark, sf_dir):
+    got = {
+        r.user_id: (r.n, r.total_cents)
+        for r in streaming_stateful_counters(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.n, r.total_cents)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        .collect()
+    }
+    assert got == want  # final emitted state == batch aggregate
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in streaming_click_purchase_join(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    want = {
+        (r.cid, r.pid)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 10 MINUTES")),
+        ).collect()
+    }
+    assert got == want
 
 
 ITEM = T.StructType(
