@@ -24,6 +24,9 @@ from data_transform_make_spark.session import get_spark
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "i1_ingest_dead_letter",
     "a1_a2_order_counter_deltas",
     "j1_lookup_join",
     "a4_a6_status_transitions",

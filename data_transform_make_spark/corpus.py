@@ -1019,6 +1019,138 @@ def mm2_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(text_to_media(docs))
 
 
+# ---------------------------------------------------------------------------
+# M2 ingest/dead-letter + classic multi-join analytics
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "i1_ingest_dead_letter",
+    """
+    WITH raw AS (
+      SELECT event_id, props,
+             CASE WHEN event_id % 50 = 0 THEN 'bad'
+                  WHEN event_id % 97 = 1 THEN 'empty'
+                  ELSE 'ok' END AS kind
+      FROM events
+    )
+    SELECT 'parsed' AS leg, count(*) AS n,
+           CAST(SUM(CASE WHEN kind = 'ok'
+                         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    END) AS BIGINT) AS k_sum
+    FROM raw WHERE kind <> 'bad'
+    UNION ALL
+    SELECT 'invalid_json' AS leg, count(*) AS n, CAST(NULL AS BIGINT) AS k_sum
+    FROM raw WHERE kind = 'bad'
+    """,
+)
+def i1_ingest_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-S4 raw-ingest chain (server.js:11-39) end-to-end: NUL-strip + trim,
+    empty-body -> '{}', permissive parse, dead-letter split. Synthesizes a
+    raw webhook body per event (every 50th corrupted, every 97th blank, the
+    rest the props JSON wrapped in whitespace + a NUL byte) and reports per-
+    leg row counts + the parsed-field sum — the batch twin of 200-vs-400
+    routing."""
+    from pyspark.sql import types as T
+
+    from .sources.ingest import parse_with_dead_letter
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 50 == 0, F.lit("{bad"))
+        .when(F.col("event_id") % 97 == 1, F.lit("  \x00"))
+        .otherwise(F.concat(F.lit("  "), F.col("props"), F.lit("\x00 ")))
+        .alias("raw_body"),
+    )
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    res = parse_with_dead_letter(raw, schema)
+    parsed = res.parsed.agg(
+        F.count("*").alias("n"), F.sum("record.k").alias("k_sum")
+    ).select(F.lit("parsed").alias("leg"), "n", "k_sum")
+    dead = res.dead_letter.agg(F.count("*").alias("n")).select(
+        F.lit("invalid_json").alias("leg"), "n", F.lit(None).cast("long").alias("k_sum")
+    )
+    return parsed.unionByName(dead)
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4)))
+                AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join -> grouped revenue -> global top-10.
+    customer is the small side (broadcast); the orders⋈lineitem join
+    shuffles on the orderkey; the top-10 is a partial TakeOrdered, no global
+    sort materialization."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey", "revenue", F.col("o_orderdate").cast("string").alias("o_orderdate")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4)))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, dims broadcast, one shuffle per
+    fact-fact equi-join; Catalyst reorders the dim joins behind the
+    broadcasts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

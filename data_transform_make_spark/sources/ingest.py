@@ -41,24 +41,41 @@ def parse_with_dead_letter(
 ) -> IngestResult:
     """Permissive JSON parse; malformed or oversize rows -> dead letter.
 
-    ``from_json`` returns NULL on malformed input (PERMISSIVE), which is the
-    error channel: NULL parse on a non-null body = the 400 path. Oversize
-    bodies (> 5 MB) are rejected before parsing, mirroring express.text's
-    limit. Both legs derive from one cached scan — no double read.
+    PERMISSIVE ``from_json`` does NOT null out malformed input — it yields a
+    struct of null fields — so the error channel is the explicit
+    ``_corrupt_record`` column (columnNameOfCorruptRecord): non-null corrupt
+    record = the 400 path (server.js:35-38). Oversize bodies (> 5 MB) are
+    rejected before parsing, mirroring express.text's limit. Both legs
+    derive from one scan — no double read.
     """
     sanitized = sanitize_body(df, body_col)
     oversize = F.octet_length(F.col(body_col)) > MAX_BODY_BYTES
-    parsed_col = F.from_json(F.col(body_col), schema)
-    staged = sanitized.withColumn("__oversize", oversize).withColumn("record", parsed_col)
-    good = staged.filter(~F.col("__oversize") & F.col("record").isNotNull()).drop("__oversize")
+    corrupt = "_corrupt_record"
+    aug_schema = T.StructType(
+        [*schema.fields, T.StructField(corrupt, T.StringType())]
+    )
+    parsed_col = F.from_json(
+        F.col(body_col),
+        aug_schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+    )
+    staged = sanitized.withColumn("__oversize", oversize).withColumn("__rec", parsed_col)
+    bad_parse = F.col(f"__rec.{corrupt}").isNotNull() | F.col("__rec").isNull()
+    good = (
+        staged.filter(~F.col("__oversize") & ~bad_parse)
+        .withColumn(
+            "record", F.struct(*[F.col(f"__rec.{f.name}") for f in schema.fields])
+        )
+        .drop("__oversize", "__rec")
+    )
     dead = (
-        staged.filter(F.col("__oversize") | F.col("record").isNull())
+        staged.filter(F.col("__oversize") | bad_parse)
         .withColumn(
             "reject_reason",
             F.when(F.col("__oversize"), F.lit("payload_too_large")).otherwise(
                 F.lit("invalid_json")
             ),
         )
-        .drop("record", "__oversize")
+        .drop("__rec", "__oversize")
     )
     return IngestResult(parsed=good, dead_letter=dead)

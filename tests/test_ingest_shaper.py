@@ -63,3 +63,23 @@ def test_transform_to_simple_records(spark):
     assert r1.bag_color_website == ""
     assert r1.order_details_website == ""
     assert r1.qty_website == "1"
+
+
+def test_parse_with_dead_letter_routes_malformed(spark):
+    """Regression: PERMISSIVE from_json yields a null-field struct (not a
+    null struct) for malformed bodies — routing must use _corrupt_record."""
+    from data_transform_make_spark.sources.ingest import parse_with_dead_letter
+
+    rows = [
+        (1, '{"k": 7}'),            # valid
+        (2, '  {"k": 8}\x00 '),     # valid after sanitize (server.js:25)
+        (3, "{bad"),                # malformed -> 400 path
+        (4, ""),                    # empty -> '{}' -> valid, k null
+    ]
+    df = spark.createDataFrame(rows, "id long, raw_body string")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    res = parse_with_dead_letter(df, schema)
+    parsed = {r.id: r.record.k for r in res.parsed.collect()}
+    dead = {r.id: r.reject_reason for r in res.dead_letter.collect()}
+    assert parsed == {1: 7, 2: 8, 4: None}
+    assert dead == {3: "invalid_json"}
