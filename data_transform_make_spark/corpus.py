@@ -747,7 +747,7 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("d3_minhash_lsh")  # no SQL twin: xxhash64 family not in DuckDB
 def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (rows-only driver check; recall vs
-    exact Jaccard is asserted in tests/test_dedup.py)."""
+    exact Jaccard is asserted in tests/test_similarity_dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.2
@@ -811,6 +811,20 @@ def n2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(
         emb, "embedding", [float(x) for x in query_vec], k=10, n_planes=8,
         multiprobe_hamming=2,
+    ).select("vec_id")
+
+
+@_register("n3_ivf_topk")  # approximate: rows-only check; recall tested in tests/
+def n3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: KMeans posting lists, nprobe nearest probed;
+    cluster assignment is a codegen'd argmin expression (scale path:
+    partitionBy(cluster) -> partition pruning at the scan)."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query_vec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(
+        emb, "embedding", [float(x) for x in query_vec], k=10, n_clusters=16, nprobe=4
     ).select("vec_id")
 
 

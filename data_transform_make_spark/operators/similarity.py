@@ -1,14 +1,20 @@
 """Similarity search over embedding columns (SURVEY.md §2.10).
 
-Two tiers:
+Three tiers:
   * ``brute_force_topk`` — exact cosine top-k: a map-only score pass plus a
     global top-k (``orderBy + limit`` compiles to TakeOrderedAndProject —
     per-partition heaps, no full sort, no full shuffle). The correct
     baseline, linear in rows.
   * ``lsh_bucket_topk`` — random-hyperplane LSH: deterministic signed
     projections bucket the vectors; only the query's bucket (and optionally
-    multi-probe neighbors) is scored. Sub-linear scan at the cost of recall;
-    the scale path for 100 TB corpora.
+    multi-probe neighbors) is scored. Sub-linear scan at the cost of recall.
+  * ``ivf_topk`` — inverted-file index: KMeans centroids (trained once,
+    seeded) partition the corpus into posting lists; a query probes only the
+    ``nprobe`` nearest lists. Cluster assignment is a pure JVM argmin
+    expression over broadcast centroid literals — no Python in the scan
+    path. At 100 TB: train on a sample, write the corpus
+    ``partitionBy("ivf_cluster")``, and the probe filter becomes partition
+    pruning at the parquet scan.
 """
 
 from __future__ import annotations
@@ -91,3 +97,73 @@ def lsh_bucket_topk(
     cand = bucketed.filter(probe)
     scored = cand.withColumn("cosine", cosine_similarity(F.col(vec_col), _query_vec_col(query_vec)))
     return scored.orderBy(F.col("cosine").desc(), F.col(df.columns[0])).limit(k).drop("__bucket")
+
+
+def train_ivf_centroids(
+    df: DataFrame, vec_col: str, n_clusters: int = 16, seed: int = 42
+) -> list[list[float]]:
+    """KMeans centroids over the embedding column (spark.ml, seeded).
+
+    At 100 TB train on a bounded sample (``df.sample(...)``) — centroid
+    quality converges long before the full corpus is seen; the returned
+    centroids are a driver-side list small enough to broadcast as literals.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, initMode="k-means||").fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def assign_ivf_cluster(vec_col, centroids: list[list[float]]):
+    """Nearest-centroid id as a JVM expression: per-centroid squared L2
+    distance, argmin via array_min over (dist, idx) structs. Codegen'd,
+    map-only — the scan path stays Python-free."""
+    from ..functions.vectors import dot
+
+    def sq_dist(c: list[float]):
+        cc = F.array(*[F.lit(x) for x in c])
+        diff_dot = dot(vec_col, vec_col) - 2 * dot(vec_col, cc) + sum(x * x for x in c)
+        return diff_dot
+
+    scored = F.array(
+        *[
+            F.struct(sq_dist(c).alias("dist"), F.lit(i).alias("idx"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(scored)["idx"]
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF probe.
+
+    Build (once per corpus): centroids + per-row cluster assignment. Query:
+    rank centroids by distance to the query driver-side, keep the ``nprobe``
+    nearest, score cosine only inside those posting lists. The probe filter
+    is a plain ``isin`` predicate — on a corpus written
+    ``partitionBy("ivf_cluster")`` it prunes partitions at the scan.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, n_clusters, seed)
+
+    def q_sq_dist(c: list[float]) -> float:
+        return sum((a - b) * (a - b) for a, b in zip(query_vec, c))
+
+    probe = sorted(range(len(centroids)), key=lambda i: q_sq_dist(centroids[i]))[:nprobe]
+    assigned = df.withColumn("__cluster", assign_ivf_cluster(F.col(vec_col), centroids))
+    cand = assigned.filter(F.col("__cluster").isin(probe))
+    scored = cand.withColumn(
+        "cosine", cosine_similarity(F.col(vec_col), _query_vec_col(query_vec))
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(df.columns[0])).limit(k).drop("__cluster")

@@ -1,0 +1,102 @@
+"""Recall/quality assertions for the approximate operators (SURVEY.md §2.10):
+MinHash-LSH vs exact n-gram Jaccard, SimHash pair sanity, and the three
+similarity-search tiers (brute force = ground truth; LSH and IVF probes must
+recover most of the true top-k)."""
+
+from pyspark.sql import functions as F
+
+from data_transform_make_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from data_transform_make_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
+from data_transform_make_spark.sources.loader import load_table
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = _pairs(ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5))
+    approx = _pairs(minhash_lsh_pairs(docs, "doc_id", "text", 32, 8, 3, 0.5))
+    assert exact, "fixture should contain near-duplicate documents"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} below 0.8 ({len(exact)} true pairs)"
+
+
+def test_simhash_near_dup_detection(spark):
+    """Synthesized corpus (the fixtures have no exact duplicates below
+    sf0.1): identical texts must pair at hamming 0; a one-word edit of a
+    long text must pair within a small radius; unrelated texts must not
+    pair at hamming 0."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the tall green trees"
+    )
+    edited = base.replace("lazy", "sleepy")
+    other = (
+        "completely different subject matter entirely about databases and "
+        "distributed query execution engines running on large clusters"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited), (4, other)], "doc_id long, text string"
+    )
+    exact = _pairs(simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=0))
+    assert (1, 2) in exact
+    assert (1, 4) not in exact and (2, 4) not in exact
+    near = _pairs(simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8))
+    assert (1, 3) in near  # one-word edit stays within the radius
+
+
+def _planted_corpus(spark):
+    """200 random background vectors + the query + 12 planted near
+    neighbors (small perturbations, cosine ≈ 0.99). The fixture embeddings
+    are near-uniform random — pruned-scan recall on them is capped by the
+    scan fraction by construction — so recall is asserted on a corpus where
+    true neighbors are genuinely close (the regime ANN indexes serve)."""
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    qv = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = [(0, qv)]
+    for i in range(1, 13):  # planted neighbors
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in qv]))
+    for i in range(13, 213):  # background
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, qv
+
+
+def test_lsh_topk_recall(spark):
+    emb, qv = _planted_corpus(spark)
+    truth = [r.vec_id for r in brute_force_topk(emb, "embedding", qv, k=10).collect()]
+    assert set(truth) <= set(range(13))  # sanity: planted neighbors win
+    approx = {
+        r.vec_id
+        for r in lsh_bucket_topk(
+            emb, "embedding", qv, k=10, n_planes=8, multiprobe_hamming=2
+        ).collect()
+    }
+    recall = len(set(truth) & approx) / len(truth)
+    assert recall >= 0.8, f"LSH top-k recall {recall:.2f}"
+    assert 0 in approx  # the query vector itself must always surface
+
+
+def test_ivf_topk_recall(spark):
+    emb, qv = _planted_corpus(spark)
+    truth = [r.vec_id for r in brute_force_topk(emb, "embedding", qv, k=10).collect()]
+    approx = {
+        r.vec_id
+        for r in ivf_topk(emb, "embedding", qv, k=10, n_clusters=8, nprobe=2).collect()
+    }
+    recall = len(set(truth) & approx) / len(truth)
+    assert recall >= 0.8, f"IVF top-k recall {recall:.2f}"
+    assert 0 in approx
