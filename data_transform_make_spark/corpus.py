@@ -1165,6 +1165,84 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "j4_semi_anti_join",
+    """
+    SELECT c_custkey, TRUE AS has_order FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT c_custkey, FALSE AS has_order FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def j4_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (EXISTS / NOT EXISTS): one shuffle each on
+    the key; the semi/anti forms never materialize the probe side's payload
+    columns."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").withColumn(
+        "has_order", F.lit(True)
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").withColumn(
+        "has_order", F.lit(False)
+    )
+    return semi.unionByName(anti)
+
+
+@_register(
+    "g3_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def g3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) with GROUPING() flags to
+    disambiguate aggregation-null from data-null — one Expand + one
+    aggregate, no re-scans."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@_register(
+    "cd1_distinct_agg",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def cd1_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate alongside a plain count: Catalyst plans the
+    two-phase distinct expansion (partial on (status, custkey), then merge)
+    — no driver-side distinct."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
