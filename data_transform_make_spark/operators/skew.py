@@ -1,0 +1,74 @@
+"""Skew mitigation: salted aggregation and salted joins (the 100 TB
+hot-key path; SURVEY.md §4 'parallelism' row, SCALE.md 'Relational core').
+
+AQE's skew-join splitting handles most cases at runtime; these helpers are
+the explicit, plan-level mitigation for the pathological ones (a handful of
+keys owning a double-digit percentage of the fact table — e.g. a stop-word
+shingle, a null-ish default key, one viral document id).
+
+Semantics are identical to the unsalted forms — tests assert equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum(
+    df: DataFrame, keys: list[str], value_col: str, n_salt: int = 16
+) -> DataFrame:
+    """groupBy(keys).sum(value) in two stages: partial sums per
+    (keys, salt) spread a hot key over ``n_salt`` reducers, then a final
+    combine per keys.
+
+    The salt derives from ``spark_partition_id()`` — deterministic within a
+    run, no extra column scan, and already aligned with the map-side
+    partials. Decomposable aggregates only (sum/count/min/max).
+    """
+    salt = F.spark_partition_id() % n_salt
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.sum(value_col).alias("__partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__partial").alias(f"sum_{value_col}"))
+
+
+def hot_keys(df: DataFrame, key: str, min_count: int) -> list:
+    """Keys whose row count exceeds ``min_count`` — the candidates worth
+    salting. One aggregate over the key column only (column-pruned scan);
+    the result must be small (it is, by definition of 'hot')."""
+    rows = df.groupBy(key).count().filter(F.col("count") >= min_count).collect()
+    return [r[key] for r in rows]
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    hot: list,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join that splits hot keys onto ``n_salt`` reducers.
+
+    Hot-key rows of the large side get a random salt; the small side's
+    hot-key rows are replicated once per salt value (explode of a literal
+    range — the small side is small by contract). Cold keys take the plain
+    join. Result = plain join, partition profile = flat.
+    """
+    if not hot:
+        return large.join(small, key, how)
+    is_hot = F.col(key).isin(hot)
+
+    large_hot = large.filter(is_hot).withColumn(
+        "__salt", (F.rand(seed=42) * n_salt).cast("int")
+    )
+    small_hot = small.filter(is_hot).withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    hot_joined = large_hot.join(small_hot, [key, "__salt"], how).drop("__salt")
+
+    cold_joined = large.filter(~is_hot).join(small.filter(~is_hot), key, how)
+    return hot_joined.unionByName(cold_joined)

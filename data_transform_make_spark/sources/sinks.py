@@ -1,0 +1,99 @@
+"""Sink-side primitives: MERGE-shaped upsert + layout-aware writers
+(SURVEY.md §2.1 S6; §4 'transactionality').
+
+The reference PUTs partial records back to Kintone one row at a time
+(makeRouter.js:120-124, 198-202). The engine's set-oriented equivalent is a
+MERGE: with Delta Lake available this is ``MERGE INTO target USING source``;
+this module provides the pure-DataFrame emulation (used by the pipelines and
+tests in this jar-less environment) with the same semantics, plus writers
+that bake the at-scale layout decisions (partition columns for pruning,
+bucketing for shuffle-free joins) into the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    insert_unmatched: bool = True,
+) -> DataFrame:
+    """MERGE emulation: WHEN MATCHED update, WHEN NOT MATCHED (optionally)
+    insert, unmatched target rows pass through.
+
+    One full-outer join keyed on ``keys`` (hash shuffle both sides; with the
+    target bucketed on the keys only the source side shuffles). Column
+    values: matched rows take the source's ``update_cols`` (default: every
+    non-key source column), keeping target values for columns the source
+    lacks; source-only rows insert with nulls for target-only columns.
+
+    This is the semantic (not transactional) core — swap in Delta's MERGE on
+    a cluster for ACID + file-level conflict detection; the call shape is
+    identical.
+    """
+    if update_cols is None:
+        update_cols = [c for c in source.columns if c not in keys]
+    missing = [c for c in update_cols if c not in target.columns]
+    if missing:
+        raise ValueError(f"update_cols not in target: {missing}")
+
+    src = source.select(
+        *[F.col(k).alias(f"__src_{k}") for k in keys],
+        *[F.col(c).alias(f"__src_{c}") for c in update_cols],
+        F.lit(True).alias("__src_present"),
+    )
+    cond = [target[k] == src[f"__src_{k}"] for k in keys]
+    how = "full_outer" if insert_unmatched else "left_outer"
+    joined = target.withColumn("__tgt_present", F.lit(True)).join(src, cond, how)
+
+    out_cols = []
+    for c in target.columns:
+        if c == "__tgt_present":
+            continue
+        if c in keys:
+            expr = F.coalesce(target[c], F.col(f"__src_{c}"))
+        elif c in update_cols:
+            expr = F.when(
+                F.col("__src_present").isNotNull(), F.col(f"__src_{c}")
+            ).otherwise(target[c])
+        else:
+            expr = target[c]
+        out_cols.append(expr.alias(c))
+    return joined.select(*out_cols)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Write with partition columns so equality/IN predicates on them become
+    partition pruning at the scan (e.g. the IVF cluster id,
+    `partitionBy('ivf_cluster')` — see operators/similarity.py).
+
+    Guard against small-file explosion: repartition on the partition columns
+    first so each partition directory is written by one task.
+    """
+    df.repartition(*[F.col(c) for c in partition_cols]).write.mode(mode).partitionBy(
+        *partition_cols
+    ).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_cols: list[str], n_buckets: int, mode: str = "overwrite"
+) -> None:
+    """Save as a bucketed table: joins/aggregations keyed on ``bucket_cols``
+    between tables bucketed the same way skip the shuffle entirely — the
+    co-located-join layout for repeated fact-fact joins at 100 TB.
+    (Bucketing requires the table catalog, hence saveAsTable, not a path.)
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )

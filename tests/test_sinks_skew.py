@@ -1,0 +1,62 @@
+"""MERGE-upsert sink semantics + skew-salting equivalence tests."""
+
+from pyspark.sql import functions as F
+
+from data_transform_make_spark.operators.skew import hot_keys, salted_join, salted_sum
+from data_transform_make_spark.sources.sinks import merge_upsert
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [("I1", 10, "Tote"), ("I2", 5, "Duffel"), ("I3", 7, "Mini")],
+        "inventory_id string, stock int, bag_model string",
+    )
+    source = spark.createDataFrame(
+        [("I1", 8), ("I4", 99)], "inventory_id string, stock int"
+    )
+    out = {
+        r.inventory_id: (r.stock, r.bag_model)
+        for r in merge_upsert(target, source, ["inventory_id"]).collect()
+    }
+    assert out["I1"] == (8, "Tote")    # matched: updated, untouched cols kept
+    assert out["I2"] == (5, "Duffel")  # unmatched target: passthrough
+    assert out["I3"] == (7, "Mini")
+    assert out["I4"] == (99, None)     # unmatched source: inserted
+
+
+def test_merge_upsert_no_insert(spark):
+    target = spark.createDataFrame([("I1", 1)], "k string, v int")
+    source = spark.createDataFrame([("I1", 2), ("I9", 9)], "k string, v int")
+    out = {r.k: r.v for r in merge_upsert(target, source, ["k"], insert_unmatched=False).collect()}
+    assert out == {"I1": 2}
+
+
+def test_salted_sum_equals_plain(spark, sf_dir):
+    from data_transform_make_spark.sources.loader import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r.l_returnflag: r.s
+        for r in li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()
+    }
+    salted = {
+        r.l_returnflag: r.sum_l_quantity
+        for r in salted_sum(li, ["l_returnflag"], "l_quantity", n_salt=8).collect()
+    }
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        assert abs(plain[k] - salted[k]) < 1e-6
+
+
+def test_salted_join_equals_plain(spark):
+    large = spark.createDataFrame(
+        [(i, "hot" if i % 3 == 0 else f"k{i}") for i in range(300)], "row_id long, k string"
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i}", float(i)) for i in range(300)], "k string, w double"
+    )
+    hot = hot_keys(large, "k", min_count=50)
+    assert hot == ["hot"]
+    plain = {(r.row_id, r.w) for r in large.join(small, "k").collect()}
+    salted = {(r.row_id, r.w) for r in salted_join(large, small, "k", hot, n_salt=4).collect()}
+    assert plain == salted
