@@ -1033,6 +1033,36 @@ def mm2_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(text_to_media(docs))
 
 
+@_register(
+    "mm3_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(LEAST(4, GREATEST(1, octet_length(encode(text)) // 64)) AS BIGINT)
+             AS n_frames
+    FROM documents
+    """,
+)
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage (1->N expansion inside mapInPandas); per-media
+    frame counts are SQL-derivable from the payload length, so the Python
+    expansion is oracle-checked end-to-end."""
+    from .multimodal.columns import sample_frames, text_to_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(text_to_media(docs), every_n_bytes=64, max_frames=4)
+    return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+
+
+@_register("mm4_resize")  # stub resize kernel: rows-only check
+def mm4_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over binary payloads (stub kernel, real Arrow plumbing);
+    output carries source + target dims."""
+    from .multimodal.columns import resize_images, text_to_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(text_to_media(docs), target=(32, 32)).drop("resized_bytes")
+
+
 # ---------------------------------------------------------------------------
 # M2 ingest/dead-letter + classic multi-join analytics
 # ---------------------------------------------------------------------------
@@ -1219,6 +1249,51 @@ def g3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@_register(
+    "up1_unpivot",
+    """
+    SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    """,
+)
+def up1_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long): one Expand node, no re-scan per metric —
+    the shape the process pipeline uses to turn counter columns into
+    (id, counter, delta) rows."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double"),
+        F.col("p_size").cast("double"),
+    ).unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "value")
+
+
+@_register(
+    "cs1_correlated_subquery",
+    """
+    SELECT p_partkey, p_type, p_size FROM part p
+    WHERE p_size > (SELECT avg(p2.p_size) FROM part p2 WHERE p2.p_type = p.p_type)
+    """,
+)
+def cs1_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (parts larger than their type's average):
+    Catalyst decorrelates to an aggregate + join
+    (RewriteCorrelatedScalarSubquery) — no per-row subquery execution.
+    Integer avg keeps the comparison bit-exact across engines."""
+    p = load_table(spark, sf_dir, "part")
+    p.createOrReplaceTempView("__cs_part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_type, p_size FROM __cs_part p
+        WHERE p_size > (SELECT avg(p2.p_size) FROM __cs_part p2
+                        WHERE p2.p_type = p.p_type)
         """
     )
 

@@ -140,6 +140,44 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(kernel, schema=_FEATURE_SCHEMA)
 
 
+_RESIZE_SCHEMA = (
+    "media_id long, width int, height int, target_width int, target_height int, "
+    "resized_bytes binary"
+)
+
+
+def resize_images(media: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame:
+    """Resize stage (STUB kernel, real plumbing): the real kernel is
+    Pillow's ``Image.resize`` per payload; the stub emits a deterministic
+    byte-grid of the target size seeded by the content digest. Arrow-batched
+    ``mapInPandas``; output carries both source and target dims so
+    downstream filters (e.g. drop tiny sources) stay in-plan."""
+    tw, th = target
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["payload"].map(_stub_decode)
+
+            def fake_resize(p: bytes | None) -> bytes:
+                if p is None:
+                    return b""
+                h = hashlib.sha256(p).digest()
+                return bytes((h[(i * 7) % 32]) for i in range(tw * th))[: tw * th]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "target_width": pd.array([tw] * len(pdf), dtype="int32"),
+                    "target_height": pd.array([th] * len(pdf), dtype="int32"),
+                    "resized_bytes": pdf["payload"].map(fake_resize),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=_RESIZE_SCHEMA)
+
+
 _FRAME_SCHEMA = "media_id long, frame_no int, frame_bytes binary"
 
 

@@ -46,3 +46,14 @@ def test_frame_sampling_expands_rows(spark, sf_dir):
     assert len(pdf) > media.count()  # 1 -> N expansion
     assert (pdf.groupby("media_id").frame_no.max() <= 3).all()
     assert pdf.frame_bytes.map(len).le(64).all()
+
+
+def test_resize_stub_dims_and_payload(spark, sf_dir):
+    from data_transform_make_spark.multimodal.columns import resize_images
+
+    media = _media(spark, sf_dir)
+    out = resize_images(media, target=(8, 4)).collect()
+    assert len(out) == media.count()
+    assert all((r.target_width, r.target_height) == (8, 4) for r in out)
+    assert all(len(r.resized_bytes) == 32 for r in out)  # tw*th bytes
+    assert all(64 <= r.width < 256 for r in out)  # source dims carried through
