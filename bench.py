@@ -4,11 +4,12 @@ and prints ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Per-query protocol: one untimed warmup run (pays whole-stage-codegen /
 Janino compilation — a fixed few-second cost that is noise at the 100 TB
-design point but 50-80% of wall time at sf0.1), then one timed run to a
-count() action (results are not collected to the driver — we measure engine
-throughput, not IPC). ``queries`` holds the steady-state seconds;
-``queries_cold`` the first-run seconds including compile, so both signals
-stay visible.
+design point but 50-80% of wall time at sf0.1), then the MEDIAN of three
+timed runs to a count() action (results are not collected to the driver —
+we measure engine throughput, not IPC; the median damps local-JVM GC noise,
+observed at ±20% run-to-run). ``queries`` holds the steady-state median
+seconds; ``queries_cold`` the first-run seconds including compile, so both
+signals stay visible.
 """
 
 from __future__ import annotations
@@ -59,9 +60,12 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(
