@@ -1318,6 +1318,37 @@ def cd1_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ga1_pandas_grouped_agg",
+    """
+    SELECT p_brand,
+           CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT) * p_size) AS DOUBLE)
+             / CAST(100 * SUM(p_size) AS DOUBLE) AS weighted_avg_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def ga1_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (Arrow-batched Python aggregation —
+    §2.9 surface): size-weighted mean price per brand. Integer-cents
+    arithmetic inside the UDF keeps the result bit-identical to the SQL
+    twin (int sums are exact; the final double division has identical
+    operands on both engines)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    # functionType given explicitly: `from __future__ import annotations`
+    # stringifies the hints, so signature inference can't see pd.Series.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_avg(price, size):
+        cents = (price * 100).round().astype("int64")
+        return float((cents * size).sum()) / float(100 * size.sum())
+
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        weighted_avg("p_retailprice", "p_size").alias("weighted_avg_price")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -1,0 +1,29 @@
+"""Python UDTF surface (SURVEY.md §2.9 'engine UDF surface').
+
+The reference's ``transformToSimpleRecords`` (makeRouter.js:56-75) is a
+1-object -> N-rows mapping; the engine's primary implementation is pure
+``explode`` + projection (plans/ingest_shaper.py — no UDF at all). This
+module provides the *general* table-function escape hatch for shapes that
+genuinely cannot be expressed with explode/HOFs: an arrow-unaware,
+row-yielding Python UDTF (Spark 3.5+ ``@udtf``).
+
+UDTFs are the slow path (per-row Python). Use a native explode/HOF when the
+expansion logic is expressible in expressions; reach for a UDTF only for
+imperative per-row expansion logic (parsers, tokenizers with state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.functions import udtf
+
+
+@udtf(returnType="token string, position int, is_numeric boolean")
+class TokenizeUDTF:
+    """Yield (token, position, is_numeric) rows from one text value —
+    the minimal 1->N imperative expansion demonstrating the surface."""
+
+    def eval(self, text: str | None):  # noqa: D102
+        if text is None:
+            return
+        for i, tok in enumerate(text.split()):
+            yield tok, i, tok.isdigit()

@@ -179,6 +179,38 @@ def streaming_click_purchase_join(
     return _run_to_memory(joined, "append")
 
 
+def streaming_process_pipeline(
+    spark: SparkSession, events_stream: DataFrame, inventory: DataFrame
+) -> DataFrame:
+    """§3.2 as a stream: foreachBatch applies the batch process pipeline
+    (status-transition counter transfer) per micro-batch — the same
+    MERGE-per-batch execution model as :func:`streaming_order_pipeline`.
+
+    Returns the final inventory post-state after all batches.
+    """
+    from ..plans.process_pipeline import process_webhook_pipeline
+
+    state = {"inventory": inventory}
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        result = process_webhook_pipeline(batch_df, state["inventory"])
+        state["inventory"] = spark.createDataFrame(
+            result.updated_inventory.collect(), result.updated_inventory.schema
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return state["inventory"]
+
+
 def streaming_order_pipeline(
     spark: SparkSession, webhooks_stream: DataFrame, inventory: DataFrame
 ) -> DataFrame:

@@ -124,3 +124,38 @@ def test_streaming_order_pipeline(spark, tmp_path):
     state = {r.inventory_id: r for r in post.collect()}
     assert (state["I1"].general_stock_qty, state["I1"].qty_office) == (3, 7)
     assert (state["I2"].general_stock_qty, state["I2"].qty_office) == (3, 3)
+
+
+def test_streaming_process_pipeline(spark, tmp_path):
+    from data_transform_make_spark.streaming.pipelines import streaming_process_pipeline
+
+    EVENTS = T.StructType(
+        [
+            T.StructField("inventory_id", T.StringType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("previous_status", T.StringType()),
+        ]
+    )
+    INV = T.StructType(
+        [
+            T.StructField("inventory_id", T.StringType()),
+            T.StructField("qty_office", T.IntegerType()),
+            T.StructField("qty_warehouse", T.IntegerType()),
+            T.StructField("qty_art", T.IntegerType()),
+            T.StructField("qty_embroidery", T.IntegerType()),
+            T.StructField("qty_sewer", T.IntegerType()),
+            T.StructField("qty_completed", T.IntegerType()),
+        ]
+    )
+    rows = [
+        ("I1", "Warehouse", "Office"),   # office-1, warehouse+1
+        ("I1", "Complete", "Warehouse"), # warehouse-1, completed+1
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, EVENTS).coalesce(1).write.parquet(src)
+    inventory = spark.createDataFrame([("I1", 5, 0, 0, 0, 0, 0)], INV)
+    stream = spark.readStream.schema(EVENTS).parquet(src)
+    post = {r.inventory_id: r for r in streaming_process_pipeline(spark, stream, inventory).collect()}
+    assert post["I1"].qty_office == 4
+    assert post["I1"].qty_warehouse == 0
+    assert post["I1"].qty_completed == 1
