@@ -34,6 +34,12 @@ def get_spark(app_name: str = "data_transform_make_spark", cpus: int | None = No
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the default 240m JIT code cache fills after ~50 distinct
+        # whole-stage-codegen plans in one JVM; once full the JIT stops
+        # compiling and HOF-heavy stages (nested transform/slice in the
+        # dedup operators) run interpreted — measured 5x slower. On a
+        # cluster, set the same flag in spark.executor.extraJavaOptions.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
