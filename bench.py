@@ -36,6 +36,8 @@ HEADLINE = [
     "w3_sessionize",
     "j2_as_of_join",
     "j3_range_join",
+    "q6_filter_agg",
+    "pc1_percentiles",
     "d1_exact_dedup",
     "d2_ngram_jaccard",
     "d3_minhash_lsh",

@@ -409,12 +409,14 @@ def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group: ranking window + filter (no global sort)."""
+    """Top-k per group: ranking window + filter (no global sort).
+    l_returnflag has 3 values — two_phase spreads the rank shuffle across
+    all reducers instead of 3 single-group tasks (operators/windows.py)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
     order = [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")]
-    return top_k_per_group(li, ["l_returnflag"], order, 5)
+    return top_k_per_group(li, ["l_returnflag"], order, 5, two_phase=True)
 
 
 @_register(
@@ -1346,6 +1348,216 @@ def ga1_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     return p.groupBy("p_brand").agg(
         weighted_avg("p_retailprice", "p_size").alias("weighted_avg_price")
+    )
+
+
+@_register(
+    "w6_lag_lead",
+    """
+    SELECT user_id, event_id,
+           coalesce(lag(event_type) OVER w, 'none') AS prev_type,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w6_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead over an event-time window per user (the in-engine
+    alternative to the reference's upstream-supplied Previous_Status,
+    makeRouter.js:145 — SURVEY.md §2.8 ordering hazard). Total order via
+    (ts, event_id) tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.coalesce(F.lag("event_type").over(w), F.lit("none")).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@_register(
+    "x2_explode_sequence",
+    """
+    SELECT o_orderkey,
+           unnest(generate_series(1, CAST(o_orderkey % 4 + 1 AS BIGINT))) AS n
+    FROM orders
+    """,
+)
+def x2_explode_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral array expansion: explode(sequence(...)) — the generator twin
+    of the reference's subtable explode (T2, makeRouter.js:57,88); maps to
+    DuckDB unnest(generate_series)."""
+    o = load_table(spark, sf_dir, "orders")
+    n_arr = F.sequence(
+        F.lit(1).cast("long"), (F.col("o_orderkey") % 4 + 1).cast("long")
+    )
+    return o.select("o_orderkey", F.explode(n_arr).alias("n"))
+
+
+@_register(
+    "mf1_map_explode",
+    """
+    SELECT event_id, k AS prop_key,
+           json_extract_string(props::JSON, '$.' || k) AS prop_value
+    FROM events, unnest(json_keys(props::JSON)) AS t(k)
+    """,
+)
+def mf1_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: permissive from_json into
+    map<string,string> then explode to (key, value) rows — the engine's
+    model for the reference's dynamic-key MetaData map (SURVEY.md §1.1,
+    makeRouter.js:40-54)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,string>")).alias(
+            "prop_key", "prop_value"
+        ),
+    )
+
+
+@_register(
+    "arr1_array_hofs",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0.1::DOUBLE)) AS BIGINT) AS n_above,
+           CAST(list_max(embedding) AS DOUBLE) AS vmax,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings
+    """,
+)
+def arr1_array_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column (filter/max/
+    size — all JVM-side expressions, no UDF): per-vector element stats.
+    Exact cross-engine: comparisons and max promote float->double
+    identically; no float summation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > F.lit(0.1))).cast("long").alias("n_above"),
+        F.array_max("embedding").cast("double").alias("vmax"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+@_register(
+    "pc1_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pc1_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group. l_quantity is
+    integral, interpolation fractions are exact binary (0.25/0.5/0.75), so
+    both engines produce identical doubles. At 100 TB swap percentile ->
+    approx_percentile (t-digest, map-side mergeable) — same API shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("p25"),
+        F.percentile("l_quantity", 0.50).alias("p50"),
+        F.percentile("l_quantity", 0.75).alias("p75"),
+    )
+
+
+@_register(
+    "mo1_moment_aggs",
+    """
+    SELECT l_returnflag, n, var_qty, sqrt(var_qty) AS stddev_qty
+    FROM (
+      SELECT l_returnflag, count(*) AS n,
+             CAST(count(*) * SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  - SUM(CAST(l_quantity AS BIGINT)) * SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+               / CAST(count(*) * (count(*) - 1) AS DOUBLE) AS var_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+)
+def mo1_moment_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev via exact integer moments (n, Σx, Σx²) then
+    one double division + sqrt — bit-identical across engines (native
+    stddev_samp uses incremental merge whose rounding is engine-specific).
+    The moment sums are map-side combinable: one shuffle at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("__sx"),
+        F.sum(q * q).alias("__sxx"),
+    )
+    var = (
+        (F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+    )
+
+
+@_register(
+    "q6_filter_agg",
+    """
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q6_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective conjunctive filter + global agg.
+    All four predicates reach PushedFilters (parquet row-group skipping);
+    integer-cents product keeps the revenue sum exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents * disc_pct).cast("double") / F.lit(1000000.0)).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "h1_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_spend
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 8
+    """,
+)
+def h1_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation predicate): repeat customers.
+    The HAVING filter runs on the aggregated side of the shuffle — no
+    second pass over the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100.0).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 8)
     )
 
 

@@ -12,13 +12,36 @@ from pyspark.sql import functions as F
 
 
 def top_k_per_group(
-    df: DataFrame, group_cols: list[str], order_col: Column, k: int
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: Column,
+    k: int,
+    two_phase: bool = False,
 ) -> DataFrame:
     """Top-k rows per group: rank over a window, keep rank <= k.
 
-    Compiles to one shuffle on group_cols + in-partition sort; at scale the
-    window sort is bounded per group (no global sort).
+    Default: one shuffle on group_cols + in-partition sort; the window sort
+    is bounded per group (no global sort). That serializes to one reducer
+    task *per group value* — fine when groups are numerous, pathological
+    when a handful of huge groups each funnel through a single task.
+
+    ``two_phase=True`` (use when group cardinality ≪ cluster parallelism):
+    phase 1 ranks within (group, input-partition) — the big shuffle spreads
+    over (|groups| × input partitions) reducers — and keeps ≤ k rows per
+    slice; any row outside a slice's top-k is dominated by k same-group rows
+    globally, so pruning is lossless under a total order. Phase 2 re-ranks
+    the ≤ k × partitions survivors per group — a negligible second shuffle.
+    Results are identical to the one-phase plan whenever ``order_col`` is a
+    total order (the same precondition one-phase determinism needs anyway).
     """
+    if two_phase:
+        local_w = Window.partitionBy(*group_cols, "__pid").orderBy(order_col)
+        df = (
+            df.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__lrn", F.row_number().over(local_w))
+            .filter(F.col("__lrn") <= k)
+            .drop("__pid", "__lrn")
+        )
     w = Window.partitionBy(*group_cols).orderBy(order_col)
     return (
         df.withColumn("rank_in_group", F.row_number().over(w))
