@@ -1561,6 +1561,125 @@ def h1_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "sp1_hash_split",
+    """
+    SELECT CASE WHEN (doc_id * 2654435761) % 4294967296
+                     < CAST(0.8 * 4294967296 AS BIGINT)
+                THEN 'train' ELSE 'eval' END AS split,
+           lang, count(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def sp1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split by multiplicative hash of the doc id —
+    the training-pipeline assignment that must be stable across runs,
+    engines, and repartitions (unlike sample()/TABLESAMPLE). Pure int64
+    arithmetic → bit-identical everywhere; map-only, no shuffle before the
+    small count agg."""
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        (F.col("doc_id") * 2654435761) % 4294967296 < int(0.8 * 4294967296),
+        "train",
+    ).otherwise("eval")
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@_register(
+    "agg1_ordered_collect",
+    """
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def agg1_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered sequence assembly per key (events -> training sequence):
+    collect_list of (ts, event_id, type) structs, array_sort for a
+    deterministic order under any partitioning, project + join to CSV.
+    One shuffle on user_id; the sort is per-group, bounded by session
+    length at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ",",
+    )
+    return ev.groupBy("user_id").agg(
+        seq.alias("type_seq"), F.count("*").alias("n_events")
+    )
+
+
+@_register(
+    "w7_ntile",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           ntile(4) OVER (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+             AS quartile
+    FROM lineitem
+    """,
+)
+def w7_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing (feature binning) via ntile over a total order —
+    SQL-standard bucket arithmetic is engine-independent given the order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@_register("apx1_sketch_aggs")  # sketch results are estimate-valued: rows-only
+def apx1_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB substitutes for exact distinct/
+    percentile: HyperLogLog++ (approx_count_distinct, mergeable, fixed
+    memory) and t-digest (approx_percentile). No SQL twin (estimates are
+    engine-specific); tests/test_sketches.py bounds the error against the
+    exact values."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("apx_customers"),
+        F.approx_percentile("o_totalprice", 0.5, 10000).alias("apx_median_price"),
+    )
+
+
+# One dialect-common SQL text, executed verbatim by BOTH engines — the
+# engine's raw-SQL surface (spark.sql over registered fixture views).
+_SQL1 = """
+    SELECT n.n_name AS nation, o.o_orderstatus AS status,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, o.o_orderstatus
+    HAVING count(*) > 50
+"""
+
+
+@_register("sql1_raw_sql", _SQL1)
+def sql1_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw ANSI-SQL entry point: the exact oracle SQL string runs through
+    ``spark.sql`` over registered fixture views — demonstrating the SQL
+    surface is first-class, not just the DataFrame API. Catalyst plans it
+    identically to the DataFrame twin (dims broadcast, agg two-phase)."""
+    from .sources.loader import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL1)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
