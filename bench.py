@@ -47,6 +47,7 @@ HEADLINE = [
     "n1_topk_cosine",
     "ta1_text_stats",
     "agg1_ordered_collect",
+    "ll1_training_corpus",
 ]
 
 

@@ -1680,6 +1680,67 @@ def sql1_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL1)
 
 
+@_register(
+    "ll1_training_corpus",
+    r"""
+    WITH quality AS (
+      SELECT * FROM documents
+      WHERE ((CASE WHEN len(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN len(text) = 0 THEN 0.0
+                    ELSE CAST(len(text) - len(regexp_replace(text,
+                         '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) END)
+                  <= 0.2 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)),
+                         '\s+'), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+                         AS DOUBLE)
+                         / len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
+                  >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0 >= 0.66
+    ), exact AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+          ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM exact
+    ), sh AS (
+      SELECT DISTINCT doc_id, u.sh
+      FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
+                         FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), drops AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    ), kept AS (
+      SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    )
+    SELECT CASE WHEN (doc_id * 2654435761) % 4294967296
+                     < CAST(0.8 * 4294967296 AS BIGINT)
+                THEN 'train' ELSE 'eval' END AS split,
+           lang, count(*) AS n_docs,
+           SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+             AS n_tokens
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def ll1_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composite: the full LLM data-curation pipeline — quality
+    gate -> exact dedup -> near-dup removal -> deterministic split ->
+    corpus stats (plans/training_corpus.py). Every stage is a tested
+    operator; the oracle twin re-states the whole chain as CTEs."""
+    from .plans.training_corpus import build_training_corpus
+
+    return build_training_corpus(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
