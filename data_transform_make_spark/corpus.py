@@ -1741,6 +1741,36 @@ def ll1_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_training_corpus(load_table(spark, sf_dir, "documents"))
 
 
+@_register(
+    "udtf1_lateral_tokenize",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    )
+    SELECT doc_id, t[i] AS token, CAST(i - 1 AS INT) AS position,
+           t[i] ~ '^[0-9]+$' AS is_numeric
+    FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+    """,
+)
+def udtf1_lateral_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (§2.9): row-yielding table function applied via
+    LATERAL — the imperative 1->N escape hatch (the reference's
+    transformToSimpleRecords shape, makeRouter.js:56-75, when explode can't
+    express the expansion). Slow path by design; the oracle twin shows this
+    particular expansion IS SQL-expressible — the entry exists to pin the
+    UDTF machinery, not to recommend it over explode."""
+    from .functions.udtfs import TokenizeUDTF
+    from .sources.loader import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("tokenize", TokenizeUDTF)
+    return spark.sql(
+        "SELECT d.doc_id, t.token, t.position, t.is_numeric "
+        "FROM documents d, LATERAL tokenize(d.text) t"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
