@@ -1399,15 +1399,18 @@ def x2_explode_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mf1_map_explode",
     """
     SELECT event_id, k AS prop_key,
-           json_extract_string(props::JSON, '$.' || k) AS prop_value
+           json_extract_string(props::JSON, '$."' || k || '"') AS prop_value
     FROM events, unnest(json_keys(props::JSON)) AS t(k)
+    WHERE json_valid(props)
     """,
 )
 def mf1_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column surface: permissive from_json into
     map<string,string> then explode to (key, value) rows — the engine's
     model for the reference's dynamic-key MetaData map (SURVEY.md §1.1,
-    makeRouter.js:40-54)."""
+    makeRouter.js:40-54). Spark's permissive from_json nulls malformed rows
+    and explode drops them; the oracle's json_valid guard is the same
+    drop. Keys are path-quoted in the twin so dotted keys don't descend."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -1470,8 +1473,10 @@ def pc1_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, n, var_qty, sqrt(var_qty) AS stddev_qty
     FROM (
       SELECT l_returnflag, count(*) AS n,
-             CAST(count(*) * SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
-                  - SUM(CAST(l_quantity AS BIGINT)) * SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             CAST(CAST(count(*) AS DECIMAL(38,0))
+                    * SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)))
+                  - SUM(CAST(l_quantity AS DECIMAL(38,0))) * SUM(CAST(l_quantity AS DECIMAL(38,0)))
+                  AS DOUBLE)
                / CAST(count(*) * (count(*) - 1) AS DOUBLE) AS var_qty
       FROM lineitem GROUP BY l_returnflag
     )
@@ -1481,16 +1486,20 @@ def mo1_moment_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample variance / stddev via exact integer moments (n, Σx, Σx²) then
     one double division + sqrt — bit-identical across engines (native
     stddev_samp uses incremental merge whose rounding is engine-specific).
-    The moment sums are map-side combinable: one shuffle at any scale."""
+    The moment sums are map-side combinable: one shuffle at any scale.
+    Moments accumulate in DECIMAL(38,0), not int64: n·Σx² crosses 2^63
+    around 2·10⁸ rows per group (~sf100), which would abort under ANSI
+    mode or wrap silently without it."""
     li = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("long")
+    dec = "decimal(38,0)"
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(q).alias("__sx"),
-        F.sum(q * q).alias("__sxx"),
+        F.sum(q.cast(dec)).alias("__sx"),
+        F.sum((q * q).cast(dec)).alias("__sxx"),
     )
     var = (
-        (F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+        (F.col("n").cast(dec) * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
         / (F.col("n") * (F.col("n") - 1)).cast("double")
     )
     return m.select(
@@ -1564,8 +1573,7 @@ def h1_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "sp1_hash_split",
     """
-    SELECT CASE WHEN (doc_id * 2654435761) % 4294967296
-                     < CAST(0.8 * 4294967296 AS BIGINT)
+    SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973837
                 THEN 'train' ELSE 'eval' END AS split,
            lang, count(*) AS n_docs
     FROM documents GROUP BY 1, 2
@@ -1576,14 +1584,14 @@ def sp1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the training-pipeline assignment that must be stable across runs,
     engines, and repartitions (unlike sample()/TABLESAMPLE). Pure int64
     arithmetic → bit-identical everywhere; map-only, no shuffle before the
-    small count agg."""
+    small count agg. The 80% cut is the shared integer literal
+    SPLIT_TRAIN_CUT (plans/training_corpus.py) — float-derived thresholds
+    differ by one between Python truncation and SQL rounding."""
+    from .plans.training_corpus import hash_split
+
     d = load_table(spark, sf_dir, "documents")
-    split = F.when(
-        (F.col("doc_id") * 2654435761) % 4294967296 < int(0.8 * 4294967296),
-        "train",
-    ).otherwise("eval")
     return (
-        d.select(split.alias("split"), "lang")
+        d.select(hash_split("doc_id").alias("split"), "lang")
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -1676,7 +1684,7 @@ def sql1_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically to the DataFrame twin (dims broadcast, agg two-phase)."""
     from .sources.loader import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
     return spark.sql(_SQL1)
 
 
@@ -1722,8 +1730,7 @@ def sql1_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), kept AS (
       SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     )
-    SELECT CASE WHEN (doc_id * 2654435761) % 4294967296
-                     < CAST(0.8 * 4294967296 AS BIGINT)
+    SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973837
                 THEN 'train' ELSE 'eval' END AS split,
            lang, count(*) AS n_docs,
            SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
@@ -1763,7 +1770,7 @@ def udtf1_lateral_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.udtfs import TokenizeUDTF
     from .sources.loader import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     spark.udtf.register("tokenize", TokenizeUDTF)
     return spark.sql(
         "SELECT d.doc_id, t.token, t.position, t.is_numeric "

@@ -14,7 +14,17 @@ imperative per-row expansion logic (parsers, tokenizers with state).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql.functions import udtf
+
+# ASCII-pinned on purpose: Python str.split()/str.isdigit() are
+# Unicode-aware (NBSP splits, '²' is a digit) while the corpus oracle's
+# RE2 regexes are ASCII (RE2 \s is [\t\n\f\r ], no \v) — the explicit
+# classes keep the UDTF and its SQL twin equivalent on any input, not just
+# the ASCII fixture text. Likewise the space-only strip mirrors SQL trim().
+_WS = re.compile(r"[ \t\n\r\f]+")
+_NUM = re.compile(r"[0-9]+")
 
 
 @udtf(returnType="token string, position int, is_numeric boolean")
@@ -25,5 +35,8 @@ class TokenizeUDTF:
     def eval(self, text: str | None):  # noqa: D102
         if text is None:
             return
-        for i, tok in enumerate(text.split()):
-            yield tok, i, tok.isdigit()
+        stripped = text.strip(" ")
+        if not stripped:
+            return
+        for i, tok in enumerate(_WS.split(stripped)):
+            yield tok, i, _NUM.fullmatch(tok) is not None

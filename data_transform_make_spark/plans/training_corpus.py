@@ -25,12 +25,18 @@ from ..operators.dedup import ngram_jaccard_pairs
 
 SPLIT_MOD = 4294967296  # 2^32
 SPLIT_MULT = 2654435761  # Knuth multiplicative hash constant
+# 80% cut as an exact integer LITERAL, reused verbatim by the SQL oracles.
+# Never derive it with float arithmetic at a call site: Python
+# int(0.8 * 2**32) truncates to ...836 while SQL CAST(0.8 * 4294967296 AS
+# BIGINT) rounds to ...837 — an off-by-one that silently flips the split of
+# any id landing exactly on the boundary.
+SPLIT_TRAIN_CUT = 3435973837
 
 
-def hash_split(id_col, train_frac: float = 0.8):
+def hash_split(id_col, train_cut: int = SPLIT_TRAIN_CUT):
     """Deterministic train/eval assignment by multiplicative hash (sp1)."""
     return F.when(
-        (F.col(id_col) * SPLIT_MULT) % SPLIT_MOD < int(train_frac * SPLIT_MOD),
+        (F.col(id_col) * SPLIT_MULT) % SPLIT_MOD < train_cut,
         "train",
     ).otherwise("eval")
 
@@ -39,7 +45,7 @@ def build_training_corpus(
     docs: DataFrame,
     quality_min: float = 0.66,
     near_dup_threshold: float = 0.2,
-    train_frac: float = 0.8,
+    train_cut: int = SPLIT_TRAIN_CUT,
 ) -> DataFrame:
     """Run the full curation pipeline; returns per-(split, lang) stats."""
     quality = docs.filter(quality_score("text") >= quality_min)
@@ -49,6 +55,13 @@ def build_training_corpus(
         quality.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        # the deduped corpus is consumed twice (shingle pairs + the final
+        # anti-join); without materialization Spark re-derives the quality
+        # regexes and the fingerprint shuffle per consumer (audited: 4
+        # scans of documents). persist() collapses that to one pass — the
+        # 100 TB equivalent is checkpointing the deduped corpus to Parquet
+        # between the dedup and near-dup stages.
+        .persist()
     )
 
     pairs = ngram_jaccard_pairs(
@@ -59,7 +72,7 @@ def build_training_corpus(
 
     return (
         kept.select(
-            hash_split("doc_id", train_frac).alias("split"),
+            hash_split("doc_id", train_cut).alias("split"),
             "lang",
             token_count("text").alias("__tok"),
         )

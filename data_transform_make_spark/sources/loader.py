@@ -50,11 +50,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view so callers can query the
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register fixture tables as temp views so callers can query the
     engine in plain SQL (``spark.sql(...)``) — the same names the DuckDB
-    oracle registers, so dialect-common SQL runs verbatim on both engines."""
-    for name in TABLES:
+    oracle registers, so dialect-common SQL runs verbatim on both engines.
+    Pass ``tables`` to register only what the query touches (skips the
+    other parquet footer reads on hot paths)."""
+    for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
