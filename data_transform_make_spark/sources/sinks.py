@@ -82,6 +82,53 @@ def write_partitioned(
     ).parquet(path)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on ``sort_cols``: range-partition across files
+    then sort within each, so the per-file/rowgroup min-max stats on those
+    columns become tight, disjoint ranges — range predicates skip whole
+    files at scan time (the poor-man's single-dimension Z-order). Use for
+    the dominant range-filter column (event time, ship date).
+    """
+    out = df.repartitionByRange(*([n_files] if n_files else []), *sort_cols)
+    out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def compact_small_files(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files.
+
+    Streaming micro-batch sinks and fine-grained partitionBy writes
+    accumulate small files; at 100 TB that multiplies scan-task scheduling
+    and footer overhead until listing dominates. Returns the file count
+    written. (Delta/Iceberg expose this as OPTIMIZE; this is the plain-
+    parquet equivalent, run it on cold partitions.)
+    """
+    import glob
+    import os
+
+    total = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n = max(1, round(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap: parquet has no transaction log — on a cluster use
+    # Delta OPTIMIZE instead; locally the rename window is the caller's
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_cols: list[str], n_buckets: int, mode: str = "overwrite"
 ) -> None:

@@ -60,3 +60,41 @@ def test_salted_join_equals_plain(spark):
     plain = {(r.row_id, r.w) for r in large.join(small, "k").collect()}
     salted = {(r.row_id, r.w) for r in salted_join(large, small, "k", hot, n_salt=4).collect()}
     assert plain == salted
+
+
+def test_write_sorted_rowgroup_stats(spark, tmp_path):
+    from data_transform_make_spark.sources.sinks import write_sorted
+
+    df = spark.range(0, 10000).withColumn("v", (F.col("id") * 7919) % 10000)
+    path = str(tmp_path / "sorted")
+    write_sorted(df, path, ["v"], n_files=4)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col = [md.schema.column(i).name for i in range(md.num_columns)].index("v")
+        st = md.row_group(0).column(col).statistics
+        ranges.append((st.min, st.max))
+    ranges.sort()
+    # files hold disjoint v-ranges -> min/max stats can skip whole files
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b
+    # and the data round-trips intact
+    assert spark.read.parquet(path).count() == 10000
+
+
+def test_compact_small_files(spark, tmp_path):
+    from data_transform_make_spark.sources.sinks import compact_small_files
+
+    path = str(tmp_path / "frag")
+    spark.range(0, 5000).repartition(40).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(path + "/*.parquet")) == 40
+    n = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(path + "/*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 5000
