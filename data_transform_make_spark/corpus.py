@@ -118,12 +118,12 @@ def p4_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t7_js_parse_int",
     r"""
     SELECT l_returnflag,
-           SUM(COALESCE(TRY_CAST(NULLIF(regexp_extract(
+           CAST(SUM(COALESCE(TRY_CAST(NULLIF(regexp_extract(
                  l_linenumber || l_returnflag, '^\s*([+-]?\d+)', 1), '') AS BIGINT), 0)
-           ) AS parsed_sum,
-           SUM(CASE WHEN NULLIF(regexp_extract(
+           ) AS BIGINT) AS parsed_sum,
+           CAST(SUM(CASE WHEN NULLIF(regexp_extract(
                  l_returnflag, '^\s*([+-]?\d+)', 1), '') IS NULL
-               THEN 1 ELSE 0 END) AS nan_count
+               THEN 1 ELSE 0 END) AS BIGINT) AS nan_count
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -348,7 +348,8 @@ def a5_counter_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x1_json_extract",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -1733,8 +1734,8 @@ def sql1_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973837
                 THEN 'train' ELSE 'eval' END AS split,
            lang, count(*) AS n_docs,
-           SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
-             AS n_tokens
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+             AS BIGINT) AS n_tokens
     FROM kept GROUP BY 1, 2
     """,
 )

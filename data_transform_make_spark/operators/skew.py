@@ -57,7 +57,20 @@ def salted_join(
     hot-key rows are replicated once per salt value (explode of a literal
     range — the small side is small by contract). Cold keys take the plain
     join. Result = plain join, partition profile = flat.
+
+    Large-side-preserving modes only (inner/left/left_semi/left_anti): a
+    replicated small-side hot row that finds no large-side match would emit
+    ``n_salt`` unmatched rows under right/full outer, diverging from the
+    unsalted join. Each large-side row carries exactly one salt, so the
+    large-preserving modes are exact.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports large-side-preserving modes only, got {how!r}: "
+            "right/full outer would duplicate unmatched replicated small-side rows"
+        )
     if not hot:
         return large.join(small, key, how)
     is_hot = F.col(key).isin(hot)

@@ -29,9 +29,16 @@ class IngestResult(NamedTuple):
 
 
 def sanitize_body(df: DataFrame, body_col: str = "raw_body") -> DataFrame:
-    """NUL-strip + trim + empty->'{}' (server.js:25,27-30)."""
+    """NUL-strip + trim + empty->'{}' (server.js:25,27-30).
+
+    JS ``.trim()`` strips ALL whitespace (tabs/newlines included); Spark's
+    ``F.trim`` strips only spaces, so a body of tabs would otherwise escape
+    the empty-default and dead-letter as invalid_json. Regex trim matches
+    the JS contract (same hazard as ingest_shaper.combine_embroidery_info)."""
     c = F.col(body_col)
-    cleaned = F.trim(F.regexp_replace(c, "\\x00", ""))
+    cleaned = F.regexp_replace(
+        F.regexp_replace(c, "\\x00", ""), r"^\s+|\s+$", ""
+    )
     defaulted = F.when(F.length(cleaned) == 0, F.lit("{}")).otherwise(cleaned)
     return df.withColumn(body_col, defaulted)
 

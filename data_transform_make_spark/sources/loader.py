@@ -64,9 +64,3 @@ def register_views(
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
-
-
-def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
-    """Register every fixture table as a temp view for the SQL API."""
-    for n in names:
-        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -75,11 +75,13 @@ def test_parse_with_dead_letter_routes_malformed(spark):
         (2, '  {"k": 8}\x00 '),     # valid after sanitize (server.js:25)
         (3, "{bad"),                # malformed -> 400 path
         (4, ""),                    # empty -> '{}' -> valid, k null
+        (5, "\t\n  \t"),            # whitespace-only: JS .trim() -> '' -> '{}'
+        (6, '\n\t{"k": 9}\r\n'),    # tab/newline-wrapped valid JSON
     ]
     df = spark.createDataFrame(rows, "id long, raw_body string")
     schema = T.StructType([T.StructField("k", T.LongType())])
     res = parse_with_dead_letter(df, schema)
     parsed = {r.id: r.record.k for r in res.parsed.collect()}
     dead = {r.id: r.reject_reason for r in res.dead_letter.collect()}
-    assert parsed == {1: 7, 2: 8, 4: None}
+    assert parsed == {1: 7, 2: 8, 4: None, 5: None, 6: 9}
     assert dead == {3: "invalid_json"}

@@ -62,6 +62,31 @@ def test_salted_join_equals_plain(spark):
     assert plain == salted
 
 
+def test_salted_join_left_anti_equals_plain(spark):
+    large = spark.createDataFrame(
+        [(i, "hot" if i % 3 == 0 else f"k{i}") for i in range(300)], "row_id long, k string"
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("k1", 1.0)], "k string, w double"
+    )
+    plain = {r.row_id for r in large.join(small, "k", "left_anti").collect()}
+    salted = {
+        r.row_id
+        for r in salted_join(large, small, "k", ["hot"], n_salt=4, how="left_anti").collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest
+
+    large = spark.createDataFrame([(1, "a")], "row_id long, k string")
+    small = spark.createDataFrame([("a", 1.0)], "k string, w double")
+    for how in ("right", "full_outer", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(large, small, "k", ["a"], how=how)
+
+
 def test_write_sorted_rowgroup_stats(spark, tmp_path):
     from data_transform_make_spark.sources.sinks import write_sorted
 
