@@ -293,9 +293,11 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (>= threshold).
 
-    Brute-force O(n²) variant — correct baseline, oracle-checkable. At scale
-    swap in :func:`..operators.similarity.lsh_bucket_topk`'s hyperplane
-    bucketing to block the join. Returns (id_a, id_b, cosine).
+    Brute-force O(n²) variant — the oracle/recall baseline ONLY. The
+    production path is :func:`embedding_near_dup_pairs_lsh` (hyperplane
+    blocking keeps the join keyed instead of all-pairs); this one exists so
+    the approximate operator has an exact, DuckDB-checkable twin to be
+    measured against. Returns (id_a, id_b, cosine).
     """
     from ..functions.vectors import cosine_similarity
 
