@@ -36,6 +36,7 @@ from .functions.text import (
 )
 from .operators.dedup import (
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     first_wins_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -782,6 +783,18 @@ def d5_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.9).select(
         "id_a", "id_b"
     )
+
+
+@_register("d5b_embedding_near_dup_lsh")  # approximate blocking: rows-only;
+# recall vs the exact d5 baseline bounded in tests/test_similarity_dedup.py
+def d5b_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-blocked embedding near-dup pairs — the production path
+    (one keyed self-join on the bucket instead of d5's all-pairs
+    BroadcastNestedLoopJoin); exact cosine re-check, same threshold as d5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.9, n_planes=8, multiprobe_hamming=1
+    ).select("id_a", "id_b")
 
 
 @_register(

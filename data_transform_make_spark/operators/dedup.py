@@ -310,3 +310,92 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking — the
+    production (100 TB) path; :func:`embedding_near_dup_pairs` is its exact
+    recall baseline.
+
+    Plan shape (vs the baseline's BroadcastNestedLoopJoin over all pairs):
+      1. map-only: bucket every vector by the sign bits of ``n_planes``
+         seeded hyperplane projections (same deterministic family as
+         ``operators.similarity.lsh_bucket_topk``);
+      2. multiprobe: the probe side additionally emits every bucket within
+         ``multiprobe_hamming`` bit-flips (0 or 1 supported — 1 emits
+         ``n_planes + 1`` keys/row), so pairs whose buckets differ by one
+         bit still collide; the anchor side stays un-expanded, and either
+         orientation of a qualifying pair produces the collision;
+      3. one equi-join keyed on the bucket — never all-pairs;
+      4. exact cosine re-check on the surviving candidates (no estimated
+         scores leave this function; precision is exact, recall is the LSH
+         tradeoff, bounded in tests/test_similarity_dedup.py).
+
+    At 100 TB the join shuffles |rows| × (n_planes + 2) bucket keys instead
+    of materializing C(n,2) pairs; hot buckets (near-identical embedding
+    clusters) split under AQE skew handling. Returns (id_a, id_b, cosine)
+    with id_a < id_b.
+    """
+    if multiprobe_hamming not in (0, 1):
+        raise ValueError("multiprobe_hamming supports 0 or 1 bit-flips")
+    from ..functions.vectors import cosine_similarity
+    from .similarity import _hyperplanes, hyperplane_bucket
+
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("n")).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {df.schema[id_col].dataType.simpleString()}, "
+                    f"id_b {df.schema[id_col].dataType.simpleString()}, cosine double"
+            )
+        dim = first["n"]
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucketed = _spread(df, id_col).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    probe_keys = [F.col("__bucket")]
+    if multiprobe_hamming == 1:
+        probe_keys += [
+            F.col("__bucket").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))
+            for i in range(n_planes)
+        ]
+    probes = bucketed.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.explode(F.array(*probe_keys)).alias("__pb"),
+    )
+    anchors = bucketed.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__bucket").alias("__pb"),
+    )
+    # cosine is orientation-symmetric, so canonicalizing ids after the join
+    # (least/greatest) loses nothing even where vectors ride the "wrong" side
+    cand = (
+        probes.join(anchors, "__pb")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "__va",
+            "__vb",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

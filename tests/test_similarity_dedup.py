@@ -6,6 +6,8 @@ recover most of the true top-k)."""
 from pyspark.sql import functions as F
 
 from data_transform_make_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
@@ -88,6 +90,41 @@ def test_lsh_topk_recall(spark):
     recall = len(set(truth) & approx) / len(truth)
     assert recall >= 0.8, f"LSH top-k recall {recall:.2f}"
     assert 0 in approx  # the query vector itself must always surface
+
+
+def test_embedding_lsh_near_dup_recall(spark):
+    """LSH-blocked near-dup pairs vs the exact all-pairs baseline on the
+    planted corpus (the near-dup regime: planted neighbors sit at cosine
+    ≈ 0.99 of the query and of each other). Precision must be exact (the
+    blocked variant re-checks cosine), recall ≥ 0.9."""
+    emb, _ = _planted_corpus(spark)
+    exact = _pairs(embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.95))
+    approx = _pairs(
+        embedding_near_dup_pairs_lsh(
+            emb, "vec_id", "embedding", 0.95, n_planes=8, multiprobe_hamming=1
+        )
+    )
+    assert exact, "planted corpus must contain true near-dup pairs"
+    assert approx <= exact, "blocked pairs must be a subset (exact re-check)"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH near-dup recall {recall:.2f} ({len(exact)} true pairs)"
+
+
+def test_embedding_lsh_near_dup_fixture_subset(spark, sf_dir):
+    """On the fixture embeddings (near-uniform random) the blocked result
+    must still be an exact subset of the brute-force result at the corpus
+    threshold — zero false positives by construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _pairs(embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.9))
+    approx = _pairs(
+        embedding_near_dup_pairs_lsh(emb, "vec_id", "embedding", 0.9)
+    )
+    assert approx <= exact
+
+
+def test_embedding_lsh_near_dup_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_near_dup_pairs_lsh(empty, "vec_id", "embedding").count() == 0
 
 
 def test_ivf_topk_recall(spark):
