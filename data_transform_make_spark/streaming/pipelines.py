@@ -179,67 +179,101 @@ def streaming_click_purchase_join(
     return _run_to_memory(joined, "append")
 
 
+def _checkpointed_state_pipeline(
+    spark: SparkSession,
+    stream: DataFrame,
+    inventory: DataFrame,
+    apply_fn,
+    state_dir: str | None = None,
+) -> DataFrame:
+    """foreachBatch with a parquet-checkpointed state carry — the Delta-less
+    MERGE-per-batch emulation.
+
+    Each micro-batch applies ``apply_fn(batch_df, current_inventory)`` and
+    writes the post-state to a fresh per-epoch parquet target; the next
+    batch reads it back. The state table never rides through the driver
+    (the old ``collect()``/``createDataFrame`` carry was a driver OOM at
+    scale), lineage is cut at every epoch (the read is a fresh scan, not a
+    plan stacked on all previous batches), and the epoch just consumed is
+    deleted after its successor is durably written — bounded storage, ≤ 2
+    epochs live at any instant. With Delta jars present the write/read pair
+    collapses to ``MERGE INTO`` on one target table; the call sites are
+    unchanged.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    if state_dir is None:
+        state_dir = tempfile.mkdtemp(prefix="dtm_state_")
+    state = {"inventory": inventory, "epoch_path": None}
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        post = apply_fn(batch_df, state["inventory"])
+        path = os.path.join(state_dir, f"epoch_{epoch_id}")
+        post.write.mode("overwrite").parquet(path)
+        prev = state["epoch_path"]
+        state["inventory"] = spark.read.parquet(path)
+        state["epoch_path"] = path
+        if prev is not None:  # fully consumed by the write just completed
+            shutil.rmtree(prev, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return state["inventory"]
+
+
 def streaming_process_pipeline(
-    spark: SparkSession, events_stream: DataFrame, inventory: DataFrame
+    spark: SparkSession,
+    events_stream: DataFrame,
+    inventory: DataFrame,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """§3.2 as a stream: foreachBatch applies the batch process pipeline
     (status-transition counter transfer) per micro-batch — the same
     MERGE-per-batch execution model as :func:`streaming_order_pipeline`.
 
-    Returns the final inventory post-state after all batches.
+    Returns the final inventory post-state after all batches (a lazy scan
+    of the last epoch's parquet checkpoint — never driver-materialized).
     """
     from ..plans.process_pipeline import process_webhook_pipeline
 
-    state = {"inventory": inventory}
-
-    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        result = process_webhook_pipeline(batch_df, state["inventory"])
-        state["inventory"] = spark.createDataFrame(
-            result.updated_inventory.collect(), result.updated_inventory.schema
-        )
-
-    q = (
-        events_stream.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .start()
+    return _checkpointed_state_pipeline(
+        spark,
+        events_stream,
+        inventory,
+        lambda batch, inv: process_webhook_pipeline(batch, inv).updated_inventory,
+        state_dir,
     )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(30)
-    return state["inventory"]
 
 
 def streaming_order_pipeline(
-    spark: SparkSession, webhooks_stream: DataFrame, inventory: DataFrame
+    spark: SparkSession,
+    webhooks_stream: DataFrame,
+    inventory: DataFrame,
+    state_dir: str | None = None,
 ) -> DataFrame:
     """§3.1 as a stream: foreachBatch applies the batch order pipeline per
-    micro-batch and MERGEs the post-state into a driver-side accumulator
-    table (stand-in for a Delta MERGE sink — Delta jars absent in v1).
+    micro-batch and MERGEs the post-state into a parquet-checkpointed
+    target (stand-in for a Delta ACID MERGE sink — Delta jars absent in v1).
 
-    Returns the final inventory post-state after all batches.
+    Returns the final inventory post-state after all batches (a lazy scan
+    of the last epoch's parquet checkpoint — never driver-materialized).
     """
     from ..plans.order_pipeline import order_webhook_pipeline
 
-    state = {"inventory": inventory}
-
-    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        result = order_webhook_pipeline(batch_df, state["inventory"])
-        # materialize: the next micro-batch must read post-state, not a
-        # lazy plan over the previous state (unbounded lineage otherwise)
-        state["inventory"] = spark.createDataFrame(
-            result.updated_inventory.collect(), result.updated_inventory.schema
-        )
-
-    q = (
-        webhooks_stream.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .start()
+    return _checkpointed_state_pipeline(
+        spark,
+        webhooks_stream,
+        inventory,
+        lambda batch, inv: order_webhook_pipeline(batch, inv).updated_inventory,
+        state_dir,
     )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(30)
-    return state["inventory"]

@@ -126,6 +126,36 @@ def test_streaming_order_pipeline(spark, tmp_path):
     assert (state["I2"].general_stock_qty, state["I2"].qty_office) == (3, 3)
 
 
+def test_streaming_order_pipeline_multi_epoch(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): the post-state of epoch 0
+    must feed epoch 1 through the parquet checkpoint, and only the final
+    epoch's checkpoint may remain on disk (bounded state storage)."""
+    src = str(tmp_path / "webhooks")
+    spark.createDataFrame(
+        [(1, "Approved", [("I1", "Tote", "3")])], WEBHOOKS
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(2, "Approved", [("I1", "Tote", "4"), ("I2", "Duffel", "2")])], WEBHOOKS
+    ).coalesce(1).write.mode("append").parquet(src)
+    inventory = spark.createDataFrame(
+        [("I1", "Tote", 10, 0), ("I2", "Duffel", 5, 1)], INVENTORY
+    )
+    stream = (
+        spark.readStream.schema(WEBHOOKS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state_dir = str(tmp_path / "state")
+    post = streaming_order_pipeline(spark, stream, inventory, state_dir=state_dir)
+    state = {r.inventory_id: r for r in post.collect()}
+    assert (state["I1"].general_stock_qty, state["I1"].qty_office) == (3, 7)
+    assert (state["I2"].general_stock_qty, state["I2"].qty_office) == (3, 3)
+    import os
+
+    epochs = [d for d in os.listdir(state_dir) if d.startswith("epoch_")]
+    assert len(epochs) == 1, f"consumed epochs must be cleaned up, found {epochs}"
+
+
 def test_streaming_process_pipeline(spark, tmp_path):
     from data_transform_make_spark.streaming.pipelines import streaming_process_pipeline
 
