@@ -229,23 +229,38 @@ def simhash_near_dup_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
     Set-oriented (no all-pairs cross join): build a shingle **inverted
     index** (groupBy shingle → sorted posting list of doc ids), generate the
-    C(df,2) ordered pairs per posting list with a nested HOF, and count
-    pair occurrences — that count is exactly |A ∩ B|. Join back per-doc set
-    sizes; Jaccard = inter / (|A| + |B| - inter).
+    C(df,2) ordered pairs per posting list with chained codegen'd
+    generators, and count pair occurrences — that count is exactly |A ∩ B|.
+    Join back per-doc set sizes; Jaccard = inter / (|A| + |B| - inter).
 
     Versus a shingle self-join this saves one wide shuffle (the index is one
     groupBy; the join shuffles the 260k-row shingle table twice), and the
     intermediate is exactly Σ C(df,2) pairs rather than the join's Σ df²
-    rows. At 100 TB, stop-phrase shingles (huge df) must be capped by a
-    document-frequency filter on the posting list — a documented
-    recall-preserving-for-rare-shingles heuristic; the fixture vocabulary
-    needs no cap.
+    rows.
+
+    ``max_df`` is the 100 TB safety valve: shingles appearing in more than
+    ``max_df`` documents (stop-phrases — one hot shingle otherwise
+    contributes C(df,2) pairs, quadratic in its document frequency) are
+    excluded from pair generation *before* the posting lists are built: the
+    hot-shingle set is small by definition, so it broadcasts, and a
+    broadcast anti-join drops hot rows ahead of ``collect_list`` — no giant
+    list ever materializes. Dropping a shingle can only shrink the measured
+    intersection, never grow it, so capped output is always a **subset** of
+    the exact output (pairs may fall below threshold or vanish; none are
+    added) — exact for every pair whose shared shingles are all rarer than
+    the cap. Default ``None`` = exact; per-doc set sizes are computed
+    before the cap either way, so |A|/|B| stay exact.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh = _spread(df, id_col).select(
@@ -253,26 +268,34 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("__sh"),
     )
     sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
+    pair_src = sh
+    if max_df is not None:
+        hot = (
+            sh.groupBy("__sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("__sh")
+        )
+        pair_src = sh.join(F.broadcast(hot), "__sh", "left_anti")
     postings = (
-        sh.groupBy("__sh")
+        pair_src.groupBy("__sh")
         .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
-    # ordered pairs per posting list: for element x at 0-based index i,
-    # pair x with every later element (1-based slice start i+2)
-    pairs = postings.select(
+    # ordered pairs per posting list via chained generators: posexplode
+    # each list element x (0-based index __ia), then explode the tail
+    # slice after it (1-based start __ia + 2) — every (x, later y) pair
+    # exactly once. Both generators and the slice are whole-stage-codegen'd;
+    # the previous nested transform/slice HOF build was CodegenFallback
+    # (interpreted) — measured 10% slower steady-state at sf0.1 and the
+    # prime suspect in an 18 s cold-run outlier (see SCALE.md 'Dedup').
+    e1 = postings.select("__ids", F.posexplode("__ids").alias("__ia", "id_a"))
+    pairs = e1.select(
+        "id_a",
         F.explode(
-            F.flatten(
-                F.transform(
-                    "__ids",
-                    lambda x, i: F.transform(
-                        F.slice(F.col("__ids"), i + F.lit(2), F.size("__ids")),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                    ),
-                )
-            )
-        ).alias("__p")
-    ).select("__p.id_a", "__p.id_b")
+            F.slice(F.col("__ids"), F.col("__ia") + F.lit(2), F.size("__ids"))
+        ).alias("id_b"),
+    )
     inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("__inter"))
     joined = (
         inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")

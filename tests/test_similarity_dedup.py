@@ -92,6 +92,46 @@ def test_lsh_topk_recall(spark):
     assert 0 in approx  # the query vector itself must always surface
 
 
+def test_ngram_jaccard_max_df_cap(spark, sf_dir):
+    """The df-cap contract: capped pairs are a subset of exact pairs (a cap
+    never invents similarity), and a cap above the corpus's max document
+    frequency is a no-op (identical rows, identical jaccard values)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    assert exact
+
+    # cap above the corpus max df — must be byte-identical to exact
+    from data_transform_make_spark.functions.text import shingles as _sh
+
+    max_seen_df = (
+        docs.select(F.explode(F.array_distinct(_sh(F.col("text"), 3))).alias("s"))
+        .groupBy("s")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, 0.5, max_df=max_seen_df
+        ).collect()
+    }
+    assert uncapped == exact
+
+    # aggressive cap — strict subset semantics, and any surviving pair's
+    # jaccard can only be under-measured (<= the exact value)
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5, max_df=3).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-12
+
+
 def test_embedding_lsh_near_dup_recall(spark):
     """LSH-blocked near-dup pairs vs the exact all-pairs baseline on the
     planted corpus (the near-dup regime: planted neighbors sit at cosine
