@@ -1366,6 +1366,45 @@ def ga1_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pu1_scalar_pandas_udf",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) AS net_micros
+    FROM lineitem
+    """,
+)
+def pu1_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (Series→Series) pandas_udf — the remaining §2.9 surface:
+    per-row discounted net price in integer micro-units, Arrow-batched.
+
+    Exactness contract with the SQL twin: positive money values only, so
+    ``floor(x + 0.5)`` equals SQL ``round`` (half away from zero) while
+    pandas' own ``round`` is half-to-even; all downstream arithmetic is
+    int64 — identical values on both engines. A real pipeline would keep
+    this expression JVM-side (it's expressible as Columns); the entry
+    exists to oracle-check the Arrow scalar-UDF path itself."""
+    from pyspark.sql.functions import pandas_udf
+
+    # hint-free signature -> SCALAR eval type (stringified annotations from
+    # `from __future__ import annotations` would break hint resolution here)
+    @pandas_udf("long")
+    def net_micros(price, discount):
+        import numpy as np
+
+        cents = np.floor(price * 100 + 0.5).astype("int64")
+        disc_bp = np.floor(discount * 10000 + 0.5).astype("int64")
+        return cents * (10000 - disc_bp)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_micros("l_extendedprice", "l_discount").alias("net_micros"),
+    )
+
+
+@_register(
     "w6_lag_lead",
     """
     SELECT user_id, event_id,
