@@ -73,7 +73,16 @@ def salted_join(
         )
     if not hot:
         return large.join(small, key, how)
-    is_hot = F.col(key).isin(hot)
+    # NULL-safe split: isin yields NULL (not False) for NULL keys, which
+    # both filter(is_hot) and filter(~is_hot) drop — a plain left/left_anti
+    # join preserves NULL-key rows, so the split must too. NULL keys never
+    # equi-join-match anything, so the cold path is exactly right for them.
+    # (A None in `hot` also poisons isin to all-NULL — strip it; NULL keys
+    # can't be salted usefully anyway, for the same no-match reason.)
+    hot = [h for h in hot if h is not None]
+    if not hot:
+        return large.join(small, key, how)
+    is_hot = F.coalesce(F.col(key).isin(hot), F.lit(False))
 
     large_hot = large.filter(is_hot).withColumn(
         "__salt", (F.rand(seed=42) * n_salt).cast("int")

@@ -28,16 +28,34 @@ class IngestResult(NamedTuple):
     dead_letter: DataFrame  # rows rejected (oversize / unparseable) + reason
 
 
+# JS String.prototype.trim strips WhiteSpace ∪ LineTerminator (ECMA-262):
+# the ASCII set (Java regex \s = [ \t\n\x0B\f\r]) plus NBSP, Ogham space,
+# the U+2000 block, LS/PS, narrow/medium/ideographic spaces, and the BOM.
+_JS_WS_CLASS = (
+    "[\\s"          # Java ASCII \\s = [ \\t\\n\\x0B\\f\\r]
+    "\u00A0\u1680"   # NBSP, Ogham space mark
+    "\u2000-\u200A"  # en/em/thin/hair space block
+    "\u2028\u2029"   # line / paragraph separator
+    "\u202F\u205F"   # narrow no-break, medium mathematical space
+    "\u3000\uFEFF"   # ideographic space, BOM (zero-width no-break)
+    "]"
+)
+
+
 def sanitize_body(df: DataFrame, body_col: str = "raw_body") -> DataFrame:
     """NUL-strip + trim + empty->'{}' (server.js:25,27-30).
 
-    JS ``.trim()`` strips ALL whitespace (tabs/newlines included); Spark's
-    ``F.trim`` strips only spaces, so a body of tabs would otherwise escape
-    the empty-default and dead-letter as invalid_json. Regex trim matches
-    the JS contract (same hazard as ingest_shaper.combine_embroidery_info)."""
+    JS ``.trim()`` strips ALL whitespace — tabs/newlines AND the Unicode
+    set (NBSP, BOM, Space_Separator, LS/PS); Spark's ``F.trim`` strips only
+    spaces and Java's ``\\s`` only ASCII, so an NBSP-only body would escape
+    the empty-default and dead-letter as invalid_json where the reference
+    returns the '{}' default. The explicit class matches the full JS
+    contract (same hazard as ingest_shaper.combine_embroidery_info)."""
     c = F.col(body_col)
     cleaned = F.regexp_replace(
-        F.regexp_replace(c, "\\x00", ""), r"^\s+|\s+$", ""
+        F.regexp_replace(c, "\\x00", ""),
+        f"^{_JS_WS_CLASS}+|{_JS_WS_CLASS}+$",
+        "",
     )
     defaulted = F.when(F.length(cleaned) == 0, F.lit("{}")).otherwise(cleaned)
     return df.withColumn(body_col, defaulted)

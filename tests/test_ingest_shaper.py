@@ -77,11 +77,13 @@ def test_parse_with_dead_letter_routes_malformed(spark):
         (4, ""),                    # empty -> '{}' -> valid, k null
         (5, "\t\n  \t"),            # whitespace-only: JS .trim() -> '' -> '{}'
         (6, '\n\t{"k": 9}\r\n'),    # tab/newline-wrapped valid JSON
+        (7, "\u00a0\ufeff\u2028"),  # Unicode ws only: JS .trim() -> '' -> '{}'
+        (8, '\u00a0{"k": 10}\u3000'),  # NBSP/ideographic-space-wrapped valid
     ]
     df = spark.createDataFrame(rows, "id long, raw_body string")
     schema = T.StructType([T.StructField("k", T.LongType())])
     res = parse_with_dead_letter(df, schema)
     parsed = {r.id: r.record.k for r in res.parsed.collect()}
     dead = {r.id: r.reject_reason for r in res.dead_letter.collect()}
-    assert parsed == {1: 7, 2: 8, 4: None, 5: None, 6: 9}
+    assert parsed == {1: 7, 2: 8, 4: None, 5: None, 6: 9, 7: None, 8: 10}
     assert dead == {3: "invalid_json"}

@@ -77,6 +77,37 @@ def test_salted_join_left_anti_equals_plain(spark):
     assert plain == salted
 
 
+def test_salted_join_null_keys_take_cold_path(spark):
+    """NULL join keys must survive the hot/cold split exactly as a plain
+    join treats them: preserved (with NULL payload) under left and
+    left_anti, absent under inner. `isin` yields NULL for NULL keys, which
+    an un-coalesced filter would drop from BOTH legs."""
+    large = spark.createDataFrame(
+        [(1, "hot"), (2, "hot"), (3, None), (4, "cold"), (5, None)],
+        "row_id long, k string",
+    )
+    small = spark.createDataFrame([("hot", 1.0), ("cold", 2.0)], "k string, w double")
+    for how in ("left", "left_anti", "inner"):
+        plain = {
+            tuple(r) for r in large.join(small, "k", how).select("row_id").collect()
+        }
+        salted = {
+            tuple(r)
+            for r in salted_join(large, small, "k", ["hot"], n_salt=4, how=how)
+            .select("row_id")
+            .collect()
+        }
+        assert salted == plain, f"{how}: {sorted(salted)} != {sorted(plain)}"
+    # a None smuggled into the hot list must not poison the split either
+    withnone = {
+        tuple(r)
+        for r in salted_join(large, small, "k", ["hot", None], n_salt=4, how="left")
+        .select("row_id")
+        .collect()
+    }
+    assert withnone == {(i,) for i in range(1, 6)}
+
+
 def test_salted_join_rejects_outer_modes(spark):
     import pytest
 
