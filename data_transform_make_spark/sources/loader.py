@@ -33,10 +33,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy Parquet scan of one fixture table.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the fixture parquet, which Spark
-    does not support natively: read it as raw nanos (legacy long mode) and
-    truncate to microseconds with integer division — byte-identical to
-    DuckDB's nanos->micros truncating read, so oracle comparisons agree.
+    ``events.ts`` normalizes to session-TZ TIMESTAMP regardless of how the
+    fixture was written: TIMESTAMP(NANOS) parquet (unsupported natively) is
+    read as raw nanos (legacy long mode) and truncated to micros —
+    byte-identical to DuckDB's truncating read — while a plain
+    ``timestamp[us]`` file (read as TIMESTAMP_NTZ) is cast to TIMESTAMP.
+    The session TZ is pinned to UTC, so the NTZ→LTZ cast preserves the
+    wall-clock micros and both engines see the same instants; watermarks
+    and event-time windows require the LTZ type.
     """
     pin_session_conf(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -47,6 +51,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -39,8 +39,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require the session-TZ TIMESTAMP type; session TZ is
+        # pinned UTC so the cast preserves the wall-clock micros
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
