@@ -792,8 +792,50 @@ def d5b_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one keyed self-join on the bucket instead of d5's all-pairs
     BroadcastNestedLoopJoin); exact cosine re-check, same threshold as d5."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # dim passed from the fixture contract (TESTDATA.md: 64-float vectors)
+    # so the operator stays fully lazy — no probe job at construction time
     return embedding_near_dup_pairs_lsh(
-        emb, "vec_id", "embedding", threshold=0.9, n_planes=8, multiprobe_hamming=1
+        emb, "vec_id", "embedding", threshold=0.9, n_planes=8, multiprobe_hamming=1,
+        dim=64,
+    ).select("id_a", "id_b")
+
+
+def _planted_near_dup_embeddings(emb, n_base: int = 64, offset: int = 1_000_000):
+    """Deterministic near-dup construction over the fixture embeddings:
+    each vec_id < n_base gets a perturbed twin at vec_id + offset
+    (per-coordinate cosine ripple, amplitude 0.02 — twin cosine ≈ 0.999,
+    far above any random-pair cosine in the fixture). Pure Column
+    expressions: same planted corpus on every engine, every run."""
+    base = emb.filter(F.col("vec_id") < n_base).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    ripple = F.transform(
+        "embedding",
+        lambda x, i: x
+        + F.lit(0.02) * F.cos(i.cast("double") * F.lit(0.7) + F.col("vec_id").cast("double")),
+    )
+    planted = base.select(
+        (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
+        ripple.alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
+@_register("d5c_embedding_near_dup_lsh_planted")  # approximate blocking:
+# rows-only; unlike d5b on the raw fixture (whose correct answer is 0 pairs),
+# this entry plants deterministic near-dup twins so the driver record shows
+# the production LSH path actually pairing documents (rows > 0); recall and
+# subset-of-exact vs the brute-force baseline on the same planted input are
+# asserted in tests/test_similarity_dedup.py
+def d5c_embedding_near_dup_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup over fixture embeddings with planted twins:
+    vec_id < 64 duplicated at +1e6 with a small deterministic perturbation;
+    the LSH path (same parameters as d5b) must surface the twin pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    union = _planted_near_dup_embeddings(emb)
+    return embedding_near_dup_pairs_lsh(
+        union, "vec_id", "embedding", threshold=0.98, n_planes=8,
+        multiprobe_hamming=1, dim=64,
     ).select("id_a", "id_b")
 
 

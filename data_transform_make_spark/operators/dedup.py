@@ -105,6 +105,32 @@ def minhash_signatures(
     )
 
 
+def _drop_hot_buckets(
+    exploded: DataFrame, bucket_cols: list[str], max_bucket_df: int
+) -> DataFrame:
+    """Exclude rows whose bucket holds more than ``max_bucket_df`` members.
+
+    The 100 TB safety valve shared by the whole LSH family (same contract as
+    ``ngram_jaccard_pairs``'s ``max_df``): a bucket holding d near-identical
+    documents emits C(d,2) candidate pairs *before* any re-check filter —
+    quadratic in d, and templated near-identical text makes huge d the
+    common case in web-scale LLM corpora. AQE skew handling cannot help
+    here: it splits oversized shuffle *partitions*, it cannot reduce the
+    inherent pair count of a bucket. Dropping whole hot buckets can only
+    remove candidate pairs, never add them, so capped output is always a
+    subset of the uncapped output; the hot-bucket list is small by
+    definition (each entry represents > max_bucket_df rows), so it
+    broadcasts and the exclusion is a map-side anti-join.
+    """
+    hot = (
+        exploded.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_bucket_df)
+        .select(*bucket_cols)
+    )
+    return exploded.join(F.broadcast(hot), bucket_cols, "left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -113,6 +139,8 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket_df: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding over MinHash signatures.
 
@@ -121,12 +149,36 @@ def minhash_lsh_pairs(
     of agreeing minhash positions; keep pairs >= threshold.
 
     Shuffle profile: one groupBy for signatures, one self-join keyed on the
-    band hash (bucket sizes are data-dependent; hot buckets are exact
-    duplicates and collapse under AQE skew handling).
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    band hash. The band join carries **ids only** — the 32-long signature
+    arrays are re-attached per distinct pair afterwards by two id-keyed
+    joins, so the exploded band rows stay ~24 bytes wide instead of
+    dragging two 256-byte arrays through the widest shuffle.
+
+    The signature table is **materialized once** (``persist``, memory-and-
+    disk): Spark has no DAG sharing without materialization, so the four
+    lazy references (two band sides, two re-attach sides) would otherwise
+    each recompute the full scan + 32-hash + groupBy subtree — measured
+    slower than simply shipping the arrays through the band join. The cache
+    is ~(256 B + id) per document; CacheManager keys entries by
+    canonicalized plan, so repeated calls over the same input share one
+    entry. At 100 TB, pass ``signatures=`` instead: write
+    :func:`minhash_signatures` output to a parquet signature table once and
+    feed it to any number of banding configurations — the persist is the
+    local-mode stand-in for exactly that pattern.
+
+    ``max_bucket_df`` caps band-bucket membership (see
+    :func:`_drop_hot_buckets`): a bucket of d near-identical docs otherwise
+    emits C(d,2) pairs regardless of AQE. Capped output ⊆ uncapped output;
+    ``None`` (default) keeps exact LSH behavior. Dropping a bucket only
+    loses *candidates*; every surviving pair's est_jaccard is unchanged
+    because the estimate is computed from the full signatures, not from the
+    buckets. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    if signatures is not None:
+        sig = signatures
+    else:
+        sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
     band_arr = F.array(
         *[
             F.xxhash64(
@@ -137,27 +189,27 @@ def minhash_lsh_pairs(
     )
     banded = sig.select(
         F.col(id_col).alias("__id"),
-        F.col("minhash"),
         F.posexplode(band_arr).alias("band_idx", "band_hash"),
     )
-    left = banded.select(
-        F.col("__id").alias("id_a"), F.col("minhash").alias("mh_a"), "band_idx", "band_hash"
-    )
-    right = banded.select(
-        F.col("__id").alias("id_b"), F.col("minhash").alias("mh_b"), "band_idx", "band_hash"
-    )
+    if max_bucket_df is not None:
+        banded = _drop_hot_buckets(banded, ["band_idx", "band_hash"], max_bucket_df)
+    left = banded.select(F.col("__id").alias("id_a"), "band_idx", "band_hash")
+    right = banded.select(F.col("__id").alias("id_b"), "band_idx", "band_hash")
     pairs = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "mh_a", "mh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
+    rescored = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     agree = F.size(
         F.filter(F.zip_with("mh_a", "mh_b", lambda a, b: a == b), lambda x: x)
     )
     est = agree.cast("double") / F.lit(float(num_hashes))
     return (
-        pairs.withColumn("est_jaccard", est)
+        rescored.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -191,14 +243,26 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
     Blocking: split the 64-bit fingerprint into 4 16-bit chunks — any pair
     within Hamming distance <= 3 shares at least one exact chunk (pigeonhole);
     for larger radii this is a recall-bounded heuristic that keeps the join
-    keyed instead of all-pairs. Returns (id_a, id_b, hamming).
+    keyed instead of all-pairs.
+
+    ``max_bucket_df`` caps chunk-bucket membership (see
+    :func:`_drop_hot_buckets`): a chunk shared by d near-identical docs
+    otherwise emits C(d,2) candidates, and AQE cannot shrink that pair
+    count. Capped ⊆ uncapped; ``None`` (default) = exact blocking. The
+    8-byte fingerprints ride the join (trivial width — unlike the minhash
+    arrays there is nothing to save by re-attaching). Returns
+    (id_a, id_b, hamming).
     """
     sig = simhash64(df, id_col, text_col)
     chunks = F.array(
@@ -212,6 +276,8 @@ def simhash_near_dup_pairs(
         F.col("simhash"),
         F.posexplode(chunks).alias("chunk_idx", "chunk"),
     )
+    if max_bucket_df is not None:
+        blocked = _drop_hot_buckets(blocked, ["chunk_idx", "chunk"], max_bucket_df)
     left = blocked.select(F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk")
     right = blocked.select(F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk")
     pairs = (
@@ -344,6 +410,7 @@ def embedding_near_dup_pairs_lsh(
     seed: int = 42,
     multiprobe_hamming: int = 1,
     dim: int | None = None,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane-LSH blocking — the
     production (100 TB) path; :func:`embedding_near_dup_pairs` is its exact
@@ -358,15 +425,25 @@ def embedding_near_dup_pairs_lsh(
          ``n_planes + 1`` keys/row), so pairs whose buckets differ by one
          bit still collide; the anchor side stays un-expanded, and either
          orientation of a qualifying pair produces the collision;
-      3. one equi-join keyed on the bucket — never all-pairs;
+      3. one equi-join keyed on the bucket, carrying **(id, bucket) only**
+         — never all-pairs, and the vectors do not ride the multiprobe
+         explosion (a 64-float vector duplicated n_planes+1 times per row
+         would dominate the shuffle); they are re-attached per distinct
+         candidate pair by two narrow id-keyed joins;
       4. exact cosine re-check on the surviving candidates (no estimated
          scores leave this function; precision is exact, recall is the LSH
          tradeoff, bounded in tests/test_similarity_dedup.py).
 
-    At 100 TB the join shuffles |rows| × (n_planes + 2) bucket keys instead
-    of materializing C(n,2) pairs; hot buckets (near-identical embedding
-    clusters) split under AQE skew handling. Returns (id_a, id_b, cosine)
-    with id_a < id_b.
+    ``max_bucket_df`` caps bucket membership (see :func:`_drop_hot_buckets`)
+    — a bucket of d near-identical embeddings otherwise yields C(d,2)
+    candidates, and AQE (which splits shuffle partitions, not pair counts)
+    cannot reduce that. Capped ⊆ uncapped; ``None`` = exact blocking.
+
+    Pass ``dim`` when the caller knows the embedding width (schemas with
+    fixed-size vectors always do): with it the function is fully lazy — no
+    Spark job runs at DataFrame-construction time. ``dim=None`` falls back
+    to a one-row probe of the data (eager, discouraged on hot paths).
+    Returns (id_a, id_b, cosine) with id_a < id_b.
     """
     if multiprobe_hamming not in (0, 1):
         raise ValueError("multiprobe_hamming supports 0 or 1 bit-flips")
@@ -384,9 +461,10 @@ def embedding_near_dup_pairs_lsh(
     planes = _hyperplanes(dim, n_planes, seed)
     bucketed = _spread(df, id_col).select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
         hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
+    if max_bucket_df is not None:
+        bucketed = _drop_hot_buckets(bucketed, ["__bucket"], max_bucket_df)
     probe_keys = [F.col("__bucket")]
     if multiprobe_hamming == 1:
         probe_keys += [
@@ -395,30 +473,29 @@ def embedding_near_dup_pairs_lsh(
         ]
     probes = bucketed.select(
         F.col("__id").alias("id_a"),
-        F.col("__v").alias("__va"),
         F.explode(F.array(*probe_keys)).alias("__pb"),
     )
     anchors = bucketed.select(
         F.col("__id").alias("id_b"),
-        F.col("__v").alias("__vb"),
         F.col("__bucket").alias("__pb"),
     )
-    # cosine is orientation-symmetric, so canonicalizing ids after the join
-    # (least/greatest) loses nothing even where vectors ride the "wrong" side
+    # either orientation of a qualifying pair produces a collision, so
+    # canonicalizing ids (least/greatest) before the distinct loses nothing
     cand = (
         probes.join(anchors, "__pb")
         .filter(F.col("id_a") != F.col("id_b"))
         .select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
-            "__va",
-            "__vb",
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    vec_a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vec_b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    rechecked = cand.join(vec_a, "id_a").join(vec_b, "id_b")
     cos = cosine_similarity(F.col("__va"), F.col("__vb"))
     return (
-        cand.withColumn("cosine", cos)
+        rechecked.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

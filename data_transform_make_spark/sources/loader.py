@@ -33,17 +33,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy Parquet scan of one fixture table.
 
-    ``events.ts`` normalizes to session-TZ TIMESTAMP regardless of how the
-    fixture was written: TIMESTAMP(NANOS) parquet (unsupported natively) is
-    read as raw nanos (legacy long mode) and truncated to micros —
-    byte-identical to DuckDB's truncating read — while a plain
-    ``timestamp[us]`` file (read as TIMESTAMP_NTZ) is cast to TIMESTAMP.
-    The session TZ is pinned to UTC, so the NTZ→LTZ cast preserves the
-    wall-clock micros and both engines see the same instants; watermarks
-    and event-time windows require the LTZ type.
+    ``events.ts`` normalizes to TIMESTAMP (LTZ — watermarks and event-time
+    windows require it) regardless of how the fixture was written:
+    TIMESTAMP(NANOS) parquet (unsupported natively) is read as raw nanos
+    (legacy long mode) and truncated to micros — byte-identical to DuckDB's
+    truncating read — while a plain ``timestamp[us]`` file is read with NTZ
+    inference disabled, so the stored micros land directly as LTZ instants
+    **at scan time, with no session-TZ dependence**: under the pinned-UTC
+    session this is bit-identical to the previous NTZ→LTZ cast, but a
+    caller mutating ``spark.sql.session.timeZone`` between load and action
+    can no longer shift the instants (the cast path remains only as a
+    fallback for frames built before the conf applies).
     """
     pin_session_conf(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F  # local import keeps module load light
     from pyspark.sql import types as T

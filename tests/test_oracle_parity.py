@@ -79,3 +79,20 @@ NO_ORACLE = sorted(set(corpus.queries()) - set(corpus.oracle_sql()))
 def test_rows_only_queries_run(spark, name):
     df = corpus.queries()[name](spark, SF_DIR)
     assert df.count() >= 0  # runs without error; semantics tested elsewhere
+
+
+def test_events_ts_independent_of_session_tz_mutation(spark):
+    """ADVICE.md regression: the events.ts instants must not shift if a
+    caller mutates spark.sql.session.timeZone between load_table and the
+    action (the scan now lands LTZ instants directly — no lazy NTZ cast
+    resolving against the action-time session TZ)."""
+    from data_transform_make_spark.sources.loader import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    baseline = df.selectExpr("min(unix_micros(ts)) AS m").first()["m"]
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        shifted = df.selectExpr("min(unix_micros(ts)) AS m").first()["m"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert shifted == baseline

@@ -167,6 +167,101 @@ def test_embedding_lsh_near_dup_empty_input(spark):
     assert embedding_near_dup_pairs_lsh(empty, "vec_id", "embedding").count() == 0
 
 
+def test_embedding_lsh_lazy_when_dim_given(spark):
+    """With ``dim`` supplied, constructing the DataFrame must not launch a
+    Spark job (the eager one-row dim probe only runs on the ``dim=None``
+    fallback). Any job triggered during construction would run under the
+    probe job group set here."""
+    emb, _ = _planted_corpus(spark)
+    sc = spark.sparkContext
+    group = "lazy-construction-probe"
+    sc.setJobGroup(group, "dim-given construction must be lazy")
+    try:
+        df = embedding_near_dup_pairs_lsh(emb, "vec_id", "embedding", dim=16)
+        assert sc.statusTracker().getJobIdsForGroup(group) == []
+    finally:
+        sc.setJobGroup("", "")
+    assert df.count() >= 0  # still a runnable plan
+
+
+def test_lsh_family_max_bucket_df_subset(spark, sf_dir):
+    """The shared hot-bucket-valve contract across the LSH family: capped
+    output ⊆ uncapped output (dropping a bucket can only remove candidate
+    pairs), surviving scores identical (scores come from signatures /
+    vectors, not buckets), and a cap above every bucket's membership is a
+    no-op."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    mh_exact = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", 32, 8, 3, 0.2).collect()
+    }
+    assert mh_exact
+    mh_capped = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", 32, 8, 3, 0.2, max_bucket_df=2
+        ).collect()
+    }
+    assert set(mh_capped) <= set(mh_exact)
+    for pair, est in mh_capped.items():
+        assert est == mh_exact[pair]  # same signatures -> same estimate
+    mh_nop = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", 32, 8, 3, 0.2, max_bucket_df=10**9
+        ).collect()
+    }
+    assert mh_nop == mh_exact
+
+    sh_exact = _pairs(simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=12))
+    sh_capped = _pairs(
+        simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=12, max_bucket_df=2)
+    )
+    assert sh_capped <= sh_exact
+    assert _pairs(
+        simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=12, max_bucket_df=10**9)
+    ) == sh_exact
+
+    emb, _ = _planted_corpus(spark)
+    em_exact = _pairs(
+        embedding_near_dup_pairs_lsh(emb, "vec_id", "embedding", 0.95, dim=16)
+    )
+    em_capped = _pairs(
+        embedding_near_dup_pairs_lsh(
+            emb, "vec_id", "embedding", 0.95, dim=16, max_bucket_df=4
+        )
+    )
+    assert em_capped <= em_exact
+    assert _pairs(
+        embedding_near_dup_pairs_lsh(
+            emb, "vec_id", "embedding", 0.95, dim=16, max_bucket_df=10**9
+        )
+    ) == em_exact
+
+
+def test_planted_embedding_near_dup_corpus_entry(spark, sf_dir):
+    """The d5c corpus entry must demonstrate nonzero LSH pairing (unlike
+    d5b on the raw fixture, where the right answer is 0 pairs), with the
+    subset-of-exact guarantee intact and recall ≥ 0.9 vs the brute-force
+    baseline on the same planted input."""
+    from data_transform_make_spark.corpus import _planted_near_dup_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    union = _planted_near_dup_embeddings(emb)
+    exact = _pairs(embedding_near_dup_pairs(union, "vec_id", "embedding", 0.98))
+    approx = _pairs(
+        embedding_near_dup_pairs_lsh(
+            union, "vec_id", "embedding", 0.98, n_planes=8, multiprobe_hamming=1, dim=64
+        )
+    )
+    assert len(exact) >= 64, "every planted twin must be a true near-dup pair"
+    assert approx, "the driver-visible entry must show nonzero pairs"
+    assert approx <= exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"planted LSH recall {recall:.2f} ({len(exact)} true pairs)"
+
+
 def test_ivf_topk_recall(spark):
     emb, qv = _planted_corpus(spark)
     truth = [r.vec_id for r in brute_force_topk(emb, "embedding", qv, k=10).collect()]
