@@ -748,6 +748,50 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.2)
 
 
+@_register(
+    "d2b_ngram_jaccard_capped",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, u.sh
+      FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
+                         FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), hot AS (
+      SELECT sh AS hsh FROM sh GROUP BY sh HAVING count(*) > 5
+    ), cold AS (
+      SELECT s.doc_id, s.sh FROM sh s LEFT JOIN hot h ON s.sh = h.hsh
+      WHERE h.hsh IS NULL
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM cold a JOIN cold b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    """,
+)
+def d2b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-shingle safety valve, oracle-checked end-to-end: same exact
+    3-gram Jaccard as d2 but shingles appearing in > 5 documents are
+    excluded from pair generation (set sizes stay exact, so surviving
+    pairs are under-measured, never over-measured). The only LSH-family
+    cap DuckDB can twin exactly — the hash-based caps (d3/d4/d5b) share
+    the same `_drop_hot_buckets` code path and are property-tested
+    capped ⊆ exact instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.2, max_df=5
+    )
+
+
 @_register("d3_minhash_lsh")  # no SQL twin: xxhash64 family not in DuckDB
 def d3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (rows-only driver check; recall vs

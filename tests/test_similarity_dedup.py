@@ -240,6 +240,29 @@ def test_lsh_family_max_bucket_df_subset(spark, sf_dir):
     ) == em_exact
 
 
+def test_minhash_precomputed_signatures_parity(spark, sf_dir):
+    """The 100 TB reuse contract: feeding a precomputed signature table via
+    ``signatures=`` (at scale: a parquet signature table written once) must
+    produce byte-identical pairs to the inline path. (No persist assertion:
+    CacheManager keys by canonicalized plan, so the inline call's cache
+    legitimately serves the caller's identical signature plan too.)"""
+    from data_transform_make_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    inline = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", 32, 8, 3, 0.2).collect()
+    }
+    sig = minhash_signatures(docs, "doc_id", "text", 32, 3)
+    pre = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", 32, 8, 3, 0.2, signatures=sig
+        ).collect()
+    }
+    assert pre == inline
+
+
 def test_planted_embedding_near_dup_corpus_entry(spark, sf_dir):
     """The d5c corpus entry must demonstrate nonzero LSH pairing (unlike
     d5b on the raw fixture, where the right answer is 0 pairs), with the
