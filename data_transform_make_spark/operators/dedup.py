@@ -329,11 +329,19 @@ def ngram_jaccard_pairs(
     before the cap either way, so |A|/|B| stay exact.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = _spread(df, id_col).select(
+    spread = _spread(df, id_col)
+    sh = spread.select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("__sh"),
     )
-    sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
+    # per-doc set size is a map-only expression over the un-exploded array —
+    # no groupBy shuffle and no second pass over the exploded shingle table
+    # (it used to be sh.groupBy(__id).count(): one extra shuffle keyed on the
+    # doc id plus a full recompute of the explode subtree, at every scale)
+    sizes = spread.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("__n"),
+    )
     pair_src = sh
     if max_df is not None:
         hot = (
