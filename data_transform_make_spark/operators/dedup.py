@@ -118,9 +118,13 @@ def _drop_hot_buckets(
     here: it splits oversized shuffle *partitions*, it cannot reduce the
     inherent pair count of a bucket. Dropping whole hot buckets can only
     remove candidate pairs, never add them, so capped output is always a
-    subset of the uncapped output; the hot-bucket list is small by
-    definition (each entry represents > max_bucket_df rows), so it
-    broadcasts and the exclusion is a map-side anti-join.
+    subset of the uncapped output. The hot-bucket list is tiny in the
+    realistic (zipfian) case — each entry represents > max_bucket_df rows —
+    and AQE converts the anti-join to a broadcast at runtime from its
+    *measured* size; the hint is deliberately left to AQE rather than
+    forced with ``F.broadcast``: in the adversarial all-duplicates corpus
+    every bucket is hot, the list is O(|buckets|), and a forced broadcast
+    would OOM the driver exactly when the valve matters most.
     """
     hot = (
         exploded.groupBy(*bucket_cols)
@@ -128,7 +132,7 @@ def _drop_hot_buckets(
         .filter(F.col("__df") > max_bucket_df)
         .select(*bucket_cols)
     )
-    return exploded.join(F.broadcast(hot), bucket_cols, "left_anti")
+    return exploded.join(hot, bucket_cols, "left_anti")
 
 
 def minhash_lsh_pairs(
@@ -319,8 +323,11 @@ def ngram_jaccard_pairs(
     ``max_df`` documents (stop-phrases — one hot shingle otherwise
     contributes C(df,2) pairs, quadratic in its document frequency) are
     excluded from pair generation *before* the posting lists are built: the
-    hot-shingle set is small by definition, so it broadcasts, and a
-    broadcast anti-join drops hot rows ahead of ``collect_list`` — no giant
+    hot-shingle set is tiny in the realistic zipfian case, so AQE converts
+    the anti-join to a runtime broadcast from its measured size (not
+    hint-forced — an adversarial all-stop-phrase corpus makes the hot set
+    O(|distinct shingles|) and a forced broadcast would OOM the driver),
+    and the anti-join drops hot rows ahead of ``collect_list`` — no giant
     list ever materializes. Dropping a shingle can only shrink the measured
     intersection, never grow it, so capped output is always a **subset** of
     the exact output (pairs may fall below threshold or vanish; none are
@@ -350,7 +357,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") > max_df)
             .select("__sh")
         )
-        pair_src = sh.join(F.broadcast(hot), "__sh", "left_anti")
+        pair_src = sh.join(hot, "__sh", "left_anti")
     postings = (
         pair_src.groupBy("__sh")
         .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
