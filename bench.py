@@ -48,6 +48,9 @@ HEADLINE = [
     "ta1_text_stats",
     "agg1_ordered_collect",
     "ll1_training_corpus",
+    # added in round 4 (totals before/after are not directly comparable):
+    "dec1_decontamination",
+    "ch1_doc_chunks",
 ]
 
 

@@ -1949,6 +1949,124 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
 
 
+@_register(
+    "dc1_dedup_clusters",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, u.sh
+      FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
+                         FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u AS u, e.v AS v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u
+    )
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+)
+def dc1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the exact
+    d2 n-gram-Jaccard pair graph — the step a curation pipeline needs
+    after pair generation (keep one doc per *cluster*; pairs alone
+    under-merge chained duplicates A~B~C). Iterative min-label
+    propagation + pointer jumping (O(log diameter) rounds, one keyed
+    shuffle + two id-joins per round — operators/graph.py); the DuckDB
+    twin computes the same fixpoint as a recursive-CTE transitive
+    closure, which is only feasible at oracle scale."""
+    from .operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.2)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@_register(
+    "dec1_decontamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973837
+                  THEN 'train' ELSE 'eval' END AS split,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, split, u.sh
+      FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
+                         FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+    ), ev AS (
+      SELECT DISTINCT sh FROM sh WHERE split = 'eval'
+    ), tr AS (
+      SELECT doc_id, sh FROM sh WHERE split = 'train'
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM tr GROUP BY doc_id
+    ), shared AS (
+      SELECT t.doc_id, count(*) AS n_shared
+      FROM tr t JOIN ev e ON t.sh = e.sh GROUP BY t.doc_id
+    )
+    SELECT s.doc_id, s.n_shared,
+           CAST(s.n_shared AS DOUBLE) / CAST(z.n AS DOUBLE) AS contamination
+    FROM shared s JOIN sizes z ON s.doc_id = z.doc_id
+    """,
+)
+def dec1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination report: train-split docs sharing any
+    distinct 3-gram with the eval split (the published n-gram-overlap
+    decontamination recipe, set-oriented: one shingle equi-join against
+    the eval vocabulary instead of per-doc scans —
+    plans/training_corpus.py)."""
+    from .plans.training_corpus import decontamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontamination_report(docs, "doc_id", "text", shingle_n=3)
+
+
+@_register(
+    "ch1_doc_chunks",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+      WHERE len(trim(text)) > 0
+    )
+    SELECT doc_id,
+           CAST((u.i - 1) // 48 AS INTEGER) AS chunk_idx,
+           array_to_string(t[u.i : u.i + 63], ' ') AS chunk_text,
+           len(t[u.i : u.i + 63]) AS n_tokens
+    FROM toks, UNNEST(generate_series(1, len(t), 48)) AS u(i)
+    """,
+)
+def ch1_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows at stride 48 (16-token
+    overlap) — map-only generator expressions, no shuffle
+    (operators/chunking.py)."""
+    from .operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_size=64, stride=48)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

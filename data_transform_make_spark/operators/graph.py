@@ -1,0 +1,102 @@
+"""Graph operators for dedup clustering: connected components over a
+near-duplicate pair list (SURVEY.md §2.10 — the step after pair
+generation: a curation pipeline keeps one document per *cluster*, and
+pairs alone under-merge whenever duplicates chain A~B~C without A~C).
+
+Algorithm: iterative min-label propagation with pointer jumping, the
+MapReduce-style formulation of PRAM connected components (publicly
+described in Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14 — reimplemented here from the paper's idea, not from
+any code). Each round:
+
+  1. neighbor-min: every vertex takes the min of its own label and its
+     neighbors' labels — one groupBy(min) shuffle keyed on the vertex id;
+  2. pointer jump: every vertex re-reads the *current* label of the
+     vertex its label points at (label <- label(label)) — one id-keyed
+     join; this halves label-chain depth, so convergence is O(log
+     diameter) rounds instead of O(diameter) for path-shaped components.
+
+Scale notes (the 100 TB design point):
+  * Per round: one shuffle for the neighbor min (map-side combined — a
+    celebrity vertex with millions of edges partial-aggregates per
+    partition before the exchange, so key skew does not concentrate
+    rows), and two id-keyed hash joins. No driver-side graph state; the
+    only driver actions are the per-round convergence counts.
+  * ``localCheckpoint(eager=True)`` each round cuts lineage — without it
+    round k re-derives rounds 1..k-1 and the DAG grows quadratically.
+    On a real cluster prefer reliable ``checkpoint`` to survive executor
+    loss; local mode has no HDFS so the local variant is used here.
+  * Near-dup components are dense (templated text collides everywhere),
+    so diameters are tiny and rounds ~2-3 in practice; ``max_iter``
+    bounds the pathological chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Assign every vertex in the pair graph its component's min vertex id.
+
+    Input: an undirected edge list (one row per pair, either orientation).
+    Output: ``(id, cluster_id)`` — one row per distinct vertex appearing in
+    any pair; ``cluster_id`` is the smallest vertex id reachable from it.
+    Vertices with no edges are by definition their own singleton cluster
+    and are not emitted (callers left-join and ``coalesce(cluster_id, id)``).
+
+    Deterministic: the fixpoint (min reachable id) does not depend on
+    iteration order, partitioning, or the number of rounds taken.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # 1. neighbor-min: min label over each vertex's neighborhood.
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("__nmin"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            .select(
+                labels["id"],
+                labels["label"].alias("__old"),
+                F.least(
+                    labels["label"], F.coalesce(F.col("__nmin"), labels["label"])
+                ).alias("label"),
+            )
+        )
+        # 2. pointer jump: label <- current label of the label vertex.
+        # Labels are always vertex ids (mins over vertex ids), and label
+        # values only decrease, so the lookup is total and monotone.
+        lut = stepped.select(
+            F.col("id").alias("label"), F.col("label").alias("__jump")
+        )
+        jumped = stepped.join(lut, "label", "left").select(
+            "id", "__old", F.coalesce("__jump", "label").alias("label")
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = jumped.filter(F.col("label") < F.col("__old")).count()
+        labels = jumped.drop("__old")
+        if changed == 0:
+            break
+
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))

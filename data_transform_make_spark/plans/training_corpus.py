@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import doc_fingerprint, quality_score, token_count
+from ..functions.text import doc_fingerprint, quality_score, shingles, token_count
 from ..operators.dedup import ngram_jaccard_pairs
 
 SPLIT_MOD = 4294967296  # 2^32
@@ -39,6 +39,73 @@ def hash_split(id_col, train_cut: int = SPLIT_TRAIN_CUT):
         (F.col(id_col) * SPLIT_MULT) % SPLIT_MOD < train_cut,
         "train",
     ).otherwise("eval")
+
+
+def decontamination_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    train_cut: int = SPLIT_TRAIN_CUT,
+) -> DataFrame:
+    """Eval-set contamination check: train-split documents that share at
+    least one distinct word n-gram with any eval-split document.
+
+    The standard published recipe (n-gram overlap against held-out sets,
+    as described in the GPT-3/PaLM appendices) re-expressed set-oriented:
+    both splits' shingle sets are exploded once, the eval side is reduced
+    to its distinct shingle vocabulary, and one equi-join keyed on the
+    shingle counts, per train doc, how many of its distinct shingles occur
+    anywhere in eval. ``contamination`` is that count over the doc's
+    distinct-shingle total.
+
+    Scale shape: the split is a map-only hash expression (same
+    multiplicative hash as :func:`hash_split`, bit-identical across
+    engines); the eval vocabulary is small by construction (eval sets are
+    a fixed few-thousand-doc benchmark suite at any corpus scale), so AQE
+    turns the join into a runtime broadcast from its measured size; the
+    per-doc totals are a map-only ``size(array_distinct(...))`` — no
+    groupBy anywhere before the final shared-count agg, which is keyed on
+    the doc id and map-side combined. Returns
+    ``(id_col, n_shared, contamination)`` for contaminated train docs only.
+    """
+    split = F.when(
+        (F.col(id_col) * SPLIT_MULT) % SPLIT_MOD < train_cut, "train"
+    ).otherwise("eval")
+    sh_arr = F.array_distinct(shingles(F.col(text_col), shingle_n))
+    # The shingled projection feeds three consumers (train shingles, eval
+    # vocabulary, per-doc totals); without materialization each one
+    # re-scans the corpus and re-runs the shingle expressions (audited:
+    # 4 parquet scans). persist() collapses that to one pass — the 100 TB
+    # equivalent is checkpointing the shingled projection to Parquet, or
+    # accepting ~3 column-pruned scans if storage is tighter than compute.
+    base = docs.select(
+        F.col(id_col), split.alias("__split"), sh_arr.alias("__shs")
+    ).persist()
+    train_sh = (
+        base.filter(F.col("__split") == "train")
+        .select(F.col(id_col), F.explode("__shs").alias("__sh"))
+    )
+    eval_sh = (
+        base.filter(F.col("__split") == "eval")
+        .select(F.explode("__shs").alias("__sh"))
+        .distinct()
+    )
+    sizes = base.filter(F.col("__split") == "train").select(
+        F.col(id_col), F.size("__shs").alias("__n")
+    )
+    shared = (
+        train_sh.join(eval_sh, "__sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return shared.join(sizes, id_col).select(
+        F.col(id_col),
+        F.col("n_shared"),
+        (F.col("n_shared").cast("double") / F.col("__n").cast("double")).alias(
+            "contamination"
+        ),
+    )
 
 
 def build_training_corpus(

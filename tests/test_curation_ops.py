@@ -1,0 +1,143 @@
+"""Tests for the round-4 curation operators: connected-components dedup
+clustering, eval-set decontamination, and document chunking."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_transform_make_spark.operators.chunking import chunk_documents
+from data_transform_make_spark.operators.graph import connected_components
+from data_transform_make_spark.plans.training_corpus import (
+    SPLIT_MOD,
+    SPLIT_MULT,
+    SPLIT_TRAIN_CUT,
+    decontamination_report,
+)
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df, **kw)
+    return {r["id"]: r["cluster_id"] for r in out.collect()}
+
+
+class TestConnectedComponents:
+    def test_two_components(self, spark):
+        got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_chain_transitivity(self, spark):
+        # A~B~C~...~H chain: pairs alone would under-merge; CC must not.
+        got = _cc(spark, [(i, i + 1) for i in range(1, 8)])
+        assert got == {i: 1 for i in range(1, 9)}
+
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        # Pointer jumping: a 30-node path converges well inside
+        # max_iter=8 (~log2(30) + slack); plain propagation would need 29.
+        got = _cc(spark, [(i, i + 1) for i in range(1, 30)], max_iter=8)
+        assert got == {i: 1 for i in range(1, 31)}
+
+    def test_reversed_and_duplicate_edges(self, spark):
+        got = _cc(spark, [(2, 1), (1, 2), (2, 3), (2, 3)])
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_empty(self, spark):
+        got = _cc(spark, [])
+        assert got == {}
+
+
+class TestDecontamination:
+    def _split(self, doc_id):
+        return (
+            "train"
+            if (doc_id * SPLIT_MULT) % SPLIT_MOD < SPLIT_TRAIN_CUT
+            else "eval"
+        )
+
+    def test_planted_overlap(self, spark):
+        # Find real train/eval ids under the production hash so the test
+        # exercises the same split expression the operator uses.
+        train_ids = [i for i in range(1, 50) if self._split(i) == "train"]
+        eval_ids = [i for i in range(1, 50) if self._split(i) == "eval"]
+        assert train_ids and eval_ids
+        leak = "the quick brown fox jumps"
+        clean = "completely different words entirely here"
+        rows = [
+            (train_ids[0], leak),  # contaminated: shares all 3-grams
+            (train_ids[1], clean),  # clean
+            (eval_ids[0], leak),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_shared"], r["contamination"])
+            for r in decontamination_report(docs).collect()
+        }
+        # 5 tokens -> 3 distinct 3-grams, all shared with the eval doc.
+        assert got == {train_ids[0]: (3, 1.0)}
+
+    def test_partial_overlap_ratio(self, spark):
+        train_ids = [i for i in range(1, 50) if self._split(i) == "train"]
+        eval_ids = [i for i in range(1, 50) if self._split(i) == "eval"]
+        # Train doc: 6 tokens -> 4 shingles; eval doc shares only the
+        # leading 3-gram "a b c".
+        docs = spark.createDataFrame(
+            [(train_ids[0], "a b c d e f"), (eval_ids[0], "a b c")],
+            "doc_id long, text string",
+        )
+        [(doc_id, n_shared, cont)] = [
+            (r["doc_id"], r["n_shared"], r["contamination"])
+            for r in decontamination_report(docs).collect()
+        ]
+        assert (doc_id, n_shared) == (train_ids[0], 1)
+        assert cont == pytest.approx(0.25)
+
+    def test_no_eval_overlap_empty_report(self, spark):
+        train_ids = [i for i in range(1, 50) if self._split(i) == "train"]
+        docs = spark.createDataFrame(
+            [(train_ids[0], "some training text here")], "doc_id long, text string"
+        )
+        assert decontamination_report(docs).count() == 0
+
+
+class TestChunking:
+    def test_overlapping_windows(self, spark):
+        text = " ".join(f"t{i}" for i in range(1, 11))  # 10 tokens
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = chunk_documents(docs, chunk_size=4, stride=3).orderBy("chunk_idx")
+        rows = [(r["chunk_idx"], r["chunk_text"], r["n_tokens"]) for r in out.collect()]
+        assert rows == [
+            (0, "t1 t2 t3 t4", 4),
+            (1, "t4 t5 t6 t7", 4),
+            (2, "t7 t8 t9 t10", 4),
+            (3, "t10", 1),
+        ]
+
+    def test_short_doc_single_chunk(self, spark):
+        docs = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+        rows = chunk_documents(docs, chunk_size=64, stride=48).collect()
+        assert len(rows) == 1
+        assert rows[0]["chunk_text"] == "only two"
+        assert rows[0]["n_tokens"] == 2
+
+    def test_blank_doc_no_rows(self, spark):
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "real text here")], "doc_id long, text string"
+        )
+        out = chunk_documents(docs, chunk_size=4, stride=4)
+        assert [r["doc_id"] for r in out.collect()] == [3]
+
+    def test_invalid_args(self, spark):
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(docs, chunk_size=0)
+        with pytest.raises(ValueError):
+            chunk_documents(docs, stride=0)
+
+    def test_coverage_no_token_lost(self, spark):
+        # Every token index is covered by at least one chunk.
+        text = " ".join(f"w{i}" for i in range(100))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = chunk_documents(docs, chunk_size=8, stride=5)
+        total = out.agg(F.sum("n_tokens")).collect()[0][0]
+        # ceil(100/5)=20 chunks; sum of window sizes >= 100 (overlap counted)
+        assert out.count() == 20
+        assert total >= 100
