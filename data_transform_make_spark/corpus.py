@@ -2067,6 +2067,136 @@ def ch1_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, "doc_id", "text", chunk_size=64, stride=48)
 
 
+@_register(
+    "sk1_salted_join",
+    """
+    SELECT s_nationkey, count(*) AS n_items, SUM(l_quantity) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def sk1_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join, oracle-checked against the plain join:
+    ``salted_join`` splits declared hot keys across 8 salt values (hot
+    large-side rows get a random salt; hot small-side rows replicate once
+    per salt) while cold keys take the ordinary join — the oracle is the
+    *unsalted* SQL join, so the hash match proves the salting is
+    semantics-free. At 100 TB this is the explicit valve for the handful
+    of keys AQE's skew splitting can't fix (operators/skew.py); the hot
+    list here is a static literal — production callers feed
+    ``hot_keys()`` output."""
+    from .operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, s, "l_suppkey", hot=[1, 2, 3], n_salt=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@_register(
+    "w8_percent_rank",
+    """
+    SELECT c_custkey, c_nationkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w8_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (percent_rank / cume_dist) under a
+    total order — (acctbal, custkey) is unique, so cross-engine row picks
+    cannot diverge. One shuffle on the partition key; both functions are
+    exact integer-ratio doubles, so the hash match is stable."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@_register(
+    "ll2_training_corpus_clustered",
+    r"""
+    WITH RECURSIVE quality AS (
+      SELECT * FROM documents
+      WHERE ((CASE WHEN len(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN len(text) = 0 THEN 0.0
+                    ELSE CAST(len(text) - len(regexp_replace(text,
+                         '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) END)
+                  <= 0.2 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)),
+                         '\s+'), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+                         AS DOUBLE)
+                         / len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
+                  >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0 >= 0.66
+    ), exact AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+          ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM exact
+    ), sh AS (
+      SELECT DISTINCT doc_id, u.sh
+      FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
+                         FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u AS u, e.v AS v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u
+    ), drops AS (
+      SELECT u AS doc_id FROM reach GROUP BY u HAVING LEAST(u, MIN(v)) < u
+    ), kept AS (
+      SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    )
+    SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973837
+                THEN 'train' ELSE 'eval' END AS split,
+           lang, count(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+             AS BIGINT) AS n_tokens
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def ll2_training_corpus_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ll1 curation pipeline with the published-standard near-dup
+    policy: connected components over the pair graph, keep one doc (the
+    min id) per cluster — transitive chains A~B~C collapse to one kept
+    doc even when A~C falls below the threshold, where ll1's greedy
+    per-pair drop keeps both ends of an un-paired chain. The oracle
+    re-states the whole chain as CTEs with the cluster step as a
+    recursive-CTE transitive closure (plans/training_corpus.py,
+    operators/graph.py)."""
+    from .plans.training_corpus import build_training_corpus_clustered
+
+    return build_training_corpus_clustered(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -108,17 +108,13 @@ def decontamination_report(
     )
 
 
-def build_training_corpus(
-    docs: DataFrame,
-    quality_min: float = 0.66,
-    near_dup_threshold: float = 0.2,
-    train_cut: int = SPLIT_TRAIN_CUT,
-) -> DataFrame:
-    """Run the full curation pipeline; returns per-(split, lang) stats."""
+def _quality_exact(docs: DataFrame, quality_min: float) -> DataFrame:
+    """Shared pipeline prefix: quality gate, then exact (fingerprint)
+    dedup, persisted once."""
     quality = docs.filter(quality_score("text") >= quality_min)
 
     w = Window.partitionBy(doc_fingerprint("text")).orderBy("doc_id")
-    exact = (
+    return (
         quality.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
@@ -131,12 +127,10 @@ def build_training_corpus(
         .persist()
     )
 
-    pairs = ngram_jaccard_pairs(
-        exact, "doc_id", "text", shingle_n=3, threshold=near_dup_threshold
-    )
-    drop_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = exact.join(drop_ids, "doc_id", "left_anti")
 
+def _split_stats(kept: DataFrame, train_cut: int) -> DataFrame:
+    """Shared pipeline suffix: deterministic split + per-(split, lang)
+    doc/token stats."""
     return (
         kept.select(
             hash_split("doc_id", train_cut).alias("split"),
@@ -149,3 +143,56 @@ def build_training_corpus(
             F.sum("__tok").alias("n_tokens"),
         )
     )
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    quality_min: float = 0.66,
+    near_dup_threshold: float = 0.2,
+    train_cut: int = SPLIT_TRAIN_CUT,
+) -> DataFrame:
+    """Run the full curation pipeline; returns per-(split, lang) stats.
+
+    Near-dup policy: greedy per-pair — drop ``id_b`` of every pair (keep
+    the smaller id). Cheap (no iteration) but under-merges chains: for
+    pairs (A,C),(B,C) it keeps both A and B.
+    :func:`build_training_corpus_clustered` is the cluster-exact variant.
+    """
+    exact = _quality_exact(docs, quality_min)
+    pairs = ngram_jaccard_pairs(
+        exact, "doc_id", "text", shingle_n=3, threshold=near_dup_threshold
+    )
+    drop_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = exact.join(drop_ids, "doc_id", "left_anti")
+    return _split_stats(kept, train_cut)
+
+
+def build_training_corpus_clustered(
+    docs: DataFrame,
+    quality_min: float = 0.66,
+    near_dup_threshold: float = 0.2,
+    train_cut: int = SPLIT_TRAIN_CUT,
+) -> DataFrame:
+    """The curation pipeline with the published-standard near-dup policy:
+    connected components over the pair graph, keep exactly one document
+    (the min id) per cluster — so transitive chains A~B~C collapse to one
+    kept doc even when A~C itself falls below the threshold.
+
+    Same shape as :func:`build_training_corpus` plus the iterative CC
+    rounds (operators/graph.py: one keyed shuffle + two id-joins per
+    round, O(log diameter) rounds, lineage cut per round). The drop set
+    is every non-representative cluster member — still tiny relative to
+    the corpus, so the anti-join broadcasts under AQE.
+    """
+    from ..operators.graph import connected_components
+
+    exact = _quality_exact(docs, quality_min)
+    pairs = ngram_jaccard_pairs(
+        exact, "doc_id", "text", shingle_n=3, threshold=near_dup_threshold
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    drop_ids = cc.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = exact.join(drop_ids, "doc_id", "left_anti")
+    return _split_stats(kept, train_cut)

@@ -45,6 +45,38 @@ class TestConnectedComponents:
         assert got == {}
 
 
+class TestClusteredCuration:
+    def test_cluster_policy_merges_unpaired_chain(self, spark):
+        # B~C and A~C are near-dups but A~B is not: the greedy per-pair
+        # policy (drop id_b of each pair) drops only C, keeping both A
+        # and B; the cluster policy keeps exactly one doc (min id) per
+        # connected component.
+        from data_transform_make_spark.operators.dedup import ngram_jaccard_pairs
+        from data_transform_make_spark.operators.graph import connected_components
+
+        # 3-gram shingle sets engineered so J(1,3)>=0.5, J(2,3)>=0.5,
+        # J(1,2)<0.5: doc3 shares half its shingles with doc1 and the
+        # other half with doc2; doc1 vs doc2 share nothing.
+        d1 = "a b c d e f"          # shingles: abc bcd cde def
+        d2 = "p q r s t u"          # shingles: pqr qrs rst stu
+        d3 = "a b c d x p q r s y"  # shares abc,bcd with d1; pqr,qrs with d2
+        docs = spark.createDataFrame(
+            [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+        )
+        pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.2)
+        got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert got_pairs == {(1, 3), (2, 3)}  # no (1,2): the chain case
+
+        greedy_drop = {r["id_b"] for r in pairs.collect()}
+        assert greedy_drop == {3}  # greedy keeps BOTH 1 and 2
+
+        cc = connected_components(pairs)
+        cluster_drop = {
+            r["id"] for r in cc.filter("cluster_id != id").collect()
+        }
+        assert cluster_drop == {2, 3}  # cluster keeps only doc 1
+
+
 class TestDecontamination:
     def _split(self, doc_id):
         return (
