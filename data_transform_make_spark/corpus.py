@@ -1097,6 +1097,41 @@ def st4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_click_purchase_join(spark, sf_dir, horizon_minutes=10)
 
 
+@_register(
+    "st5_stream_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS BIGINT) AS session_end_us,
+           user_id, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def st5_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (`session_window` + watermark): dynamic,
+    data-dependent window extents that tumbling windows (st1) cannot
+    express — the streaming twin of the batch sessionize (w3). The oracle
+    is the gaps-and-islands batch restatement: a new session starts on a
+    strictly-larger-than-gap silence (Spark merges adjacent [t, t+gap)
+    ranges, boundary-probed in tests); session end = last event + gap."""
+    from .streaming.pipelines import streaming_session_window
+
+    return streaming_session_window(spark, sf_dir, gap="30 minutes")
+
+
 # ---------------------------------------------------------------------------
 # M5 multimodal plumbing (SURVEY.md §2.10)
 # ---------------------------------------------------------------------------

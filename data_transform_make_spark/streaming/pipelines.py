@@ -87,6 +87,36 @@ def streaming_window_agg(
     return _run_to_memory(agg, "complete")
 
 
+def streaming_session_window(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked session-window aggregation (`session_window`): per-user
+    sessions whose windows merge while consecutive events are <= gap apart
+    (an event exactly gap after its predecessor still merges — adjacent
+    [t, t+gap) ranges union; a *strictly* larger gap starts a new session,
+    the same `>` convention as the batch sessionize oracle, w3).
+
+    Session end is last-event + gap, per Spark's definition. The dynamic
+    (data-dependent) window extent is what tumbling windows (st1) cannot
+    express; state per key is bounded by the watermark. Complete output
+    mode so one availableNow pass surfaces every closed session; epoch-
+    micros outputs keep the cross-engine comparison exact.
+    """
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
 def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch idempotency: duplicate the stream (union with itself),
     dedup on event_id within the watermark, count per event_type.

@@ -10,6 +10,7 @@ from data_transform_make_spark.streaming.pipelines import (
     streaming_click_purchase_join,
     streaming_dedup_count,
     streaming_order_pipeline,
+    streaming_session_window,
     streaming_stateful_counters,
     streaming_window_agg,
 )
@@ -31,6 +32,63 @@ def test_stream_window_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_session_window_matches_batch_sessionize(spark, sf_dir):
+    """The streaming session_window agg equals the batch gaps-and-islands
+    restatement (the st5 oracle shape) on the events fixture."""
+    got = {
+        (r.session_start_us, r.session_end_us, r.user_id): r.n_events
+        for r in streaming_session_window(spark, sf_dir, gap="30 minutes").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    w = F.expr(
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
+    g = ev.withColumn(
+        "is_new",
+        F.when(w.isNull() | (F.col("ts").cast("long") - w.cast("long") > 1800), 1).otherwise(0),
+    )
+    s = g.withColumn(
+        "sid",
+        F.expr(
+            "sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)"
+        ),
+    )
+    want = {
+        (r.session_start_us, r.session_end_us, r.user_id): r.n_events
+        for r in s.groupBy("user_id", "sid")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            (F.unix_micros(F.max("ts")) + 30 * 60 * 1_000_000).alias("session_end_us"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_session_window_boundary_merges_at_exact_gap(spark, tmp_path):
+    """An event exactly gap after its predecessor merges (adjacent
+    [t, t+gap) ranges union); strictly beyond the gap splits — the `>`
+    convention the st5/w3 oracles encode."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 0, 30, 0)),  # exactly gap -> merges
+        (2, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (2, dt.datetime(2024, 1, 1, 0, 30, 0, 1)),  # 1 us beyond -> splits
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", "n")
+    )
+    counts = sorted((r.user_id, r.n) for r in out.collect())
+    assert counts == [(1, 2), (2, 1), (2, 1)]
 
 
 def test_stream_dedup_is_idempotent(spark, sf_dir):
