@@ -1234,7 +1234,7 @@ def i1_ingest_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     routing."""
     from pyspark.sql import types as T
 
-    from .sources.ingest import parse_with_dead_letter
+    from .sources.ingest import ingest_with_reason
 
     ev = load_table(spark, sf_dir, "events")
     raw = ev.select(
@@ -1245,14 +1245,13 @@ def i1_ingest_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("raw_body"),
     )
     schema = T.StructType([T.StructField("k", T.LongType())])
-    res = parse_with_dead_letter(raw, schema)
-    parsed = res.parsed.agg(
-        F.count("*").alias("n"), F.sum("record.k").alias("k_sum")
-    ).select(F.lit("parsed").alias("leg"), "n", "k_sum")
-    dead = res.dead_letter.agg(F.count("*").alias("n")).select(
-        F.lit("invalid_json").alias("leg"), "n", F.lit(None).cast("long").alias("k_sum")
-    )
-    return parsed.unionByName(dead)
+    # single pass: routing as a column (one scan, one from_json), then a
+    # tiny groupBy on the leg tag — the two-DataFrame split would re-run
+    # the scan + parse subtree once per leg (audited: 2 scans -> 1)
+    tagged = ingest_with_reason(raw, schema)
+    return tagged.groupBy(
+        F.coalesce("reject_reason", F.lit("parsed")).alias("leg")
+    ).agg(F.count("*").alias("n"), F.sum("record.k").alias("k_sum"))
 
 
 @_register(

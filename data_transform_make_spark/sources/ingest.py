@@ -61,17 +61,26 @@ def sanitize_body(df: DataFrame, body_col: str = "raw_body") -> DataFrame:
     return df.withColumn(body_col, defaulted)
 
 
-def parse_with_dead_letter(
+def ingest_with_reason(
     df: DataFrame, schema: T.StructType, body_col: str = "raw_body"
-) -> IngestResult:
-    """Permissive JSON parse; malformed or oversize rows -> dead letter.
+) -> DataFrame:
+    """Single-pass ingest: sanitize + parse + routing tag in one projection.
 
-    PERMISSIVE ``from_json`` does NOT null out malformed input — it yields a
-    struct of null fields — so the error channel is the explicit
-    ``_corrupt_record`` column (columnNameOfCorruptRecord): non-null corrupt
-    record = the 400 path (server.js:35-38). Oversize bodies (> 5 MB) are
-    rejected before parsing, mirroring express.text's limit. Both legs
-    derive from one scan — no double read.
+    Returns the input rows with two added columns: ``record`` (the parsed
+    struct, NULL on any reject) and ``reject_reason`` (NULL for parsed
+    rows, 'payload_too_large' / 'invalid_json' for the dead-letter legs —
+    server.js:35-38's 400 path and express.text's 5 MB limit).
+
+    This is the form to feed anything that consumes *both* legs (routing
+    counts, a partitioned-by-reason sink): the two-DataFrame split in
+    :func:`parse_with_dead_letter` filters this frame twice, and without
+    materialization Spark re-runs the scan + ``from_json`` subtree per
+    leg — at 100 TB that doubles the most expensive map stage in the
+    ingest path. One scan, one parse, routing as data.
+
+    PERMISSIVE ``from_json`` does NOT null out malformed input — it yields
+    a struct of null fields — so the error channel is the explicit
+    ``_corrupt_record`` column (columnNameOfCorruptRecord).
     """
     sanitized = sanitize_body(df, body_col)
     oversize = F.octet_length(F.col(body_col)) > MAX_BODY_BYTES
@@ -86,21 +95,33 @@ def parse_with_dead_letter(
     )
     staged = sanitized.withColumn("__oversize", oversize).withColumn("__rec", parsed_col)
     bad_parse = F.col(f"__rec.{corrupt}").isNotNull() | F.col("__rec").isNull()
-    good = (
-        staged.filter(~F.col("__oversize") & ~bad_parse)
-        .withColumn(
-            "record", F.struct(*[F.col(f"__rec.{f.name}") for f in schema.fields])
-        )
+    reason = (
+        F.when(F.col("__oversize"), F.lit("payload_too_large"))
+        .when(bad_parse, F.lit("invalid_json"))
+    )
+    record = F.when(
+        reason.isNull(),
+        F.struct(*[F.col(f"__rec.{f.name}") for f in schema.fields]),
+    )
+    return (
+        staged.withColumn("reject_reason", reason)
+        .withColumn("record", record)
         .drop("__oversize", "__rec")
     )
-    dead = (
-        staged.filter(F.col("__oversize") | bad_parse)
-        .withColumn(
-            "reject_reason",
-            F.when(F.col("__oversize"), F.lit("payload_too_large")).otherwise(
-                F.lit("invalid_json")
-            ),
-        )
-        .drop("__rec", "__oversize")
-    )
+
+
+def parse_with_dead_letter(
+    df: DataFrame, schema: T.StructType, body_col: str = "raw_body"
+) -> IngestResult:
+    """Permissive JSON parse; malformed or oversize rows -> dead letter.
+
+    The two-DataFrame view over :func:`ingest_with_reason` — convenient
+    when the legs feed *different* sinks. Each leg is a filter over the
+    tagged frame, so consuming both re-evaluates the parse subtree unless
+    the caller materializes; prefer ``ingest_with_reason`` when one
+    downstream operator consumes both legs.
+    """
+    tagged = ingest_with_reason(df, schema, body_col)
+    good = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+    dead = tagged.filter(F.col("reject_reason").isNotNull()).drop("record")
     return IngestResult(parsed=good, dead_letter=dead)

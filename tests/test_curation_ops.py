@@ -44,6 +44,39 @@ class TestConnectedComponents:
         got = _cc(spark, [])
         assert got == {}
 
+    def test_random_graphs_match_union_find(self, spark):
+        # Cross-check the distributed algorithm against a reference
+        # union-find on seeded random graphs (mixed sparse/dense).
+        import random
+
+        for seed, n, m in [(1, 40, 25), (2, 60, 80), (3, 30, 200)]:
+            rng = random.Random(seed)
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            touched = {v for e in edges for v in e}
+            groups = {}
+            for v in touched:
+                groups.setdefault(find(v), []).append(v)
+            want = {v: min(g) for g in groups.values() for v in g}
+
+            got = _cc(spark, edges)
+            assert got == want, f"seed={seed}"
+
 
 class TestClusteredCuration:
     def test_cluster_policy_merges_unpaired_chain(self, spark):
