@@ -1247,11 +1247,19 @@ def i1_ingest_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = T.StructType([T.StructField("k", T.LongType())])
     # single pass: routing as a column (one scan, one from_json), then a
     # tiny groupBy on the leg tag — the two-DataFrame split would re-run
-    # the scan + parse subtree once per leg (audited: 2 scans -> 1)
+    # the scan + parse subtree once per leg (audited: 2 scans -> 1).
+    # The left join against the literal leg list preserves the output
+    # contract (both legs always present, n=0 when empty) that a bare
+    # groupBy would drop — the oracle's ungrouped aggregates emit both
+    # rows even when a leg is empty.
     tagged = ingest_with_reason(raw, schema)
-    return tagged.groupBy(
+    grouped = tagged.groupBy(
         F.coalesce("reject_reason", F.lit("parsed")).alias("leg")
     ).agg(F.count("*").alias("n"), F.sum("record.k").alias("k_sum"))
+    legs = spark.createDataFrame([("parsed",), ("invalid_json",)], "leg string")
+    return legs.join(grouped, "leg", "left").select(
+        "leg", F.coalesce("n", F.lit(0)).alias("n"), "k_sum"
+    )
 
 
 @_register(

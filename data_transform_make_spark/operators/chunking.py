@@ -41,15 +41,21 @@ def chunk_documents(
     if stride < 1 or chunk_size < 1:
         raise ValueError("chunk_size and stride must be >= 1")
     toks = tokens(F.col(text_col))
+    # <= 0, not == 0: size(NULL array) is -1 under the non-ANSI default,
+    # and the otherwise-branch would then evaluate sequence(1, -1, stride)
+    # and throw — NULL text must drop rows like empty text does (the
+    # DuckDB twin's WHERE len(trim(text)) > 0 drops NULL the same way).
     starts = F.when(
-        F.size(toks) == 0, F.array().cast("array<int>")
+        F.size(toks) <= 0, F.array().cast("array<int>")
     ).otherwise(F.sequence(F.lit(1), F.size(toks), F.lit(stride)))
+    # carry the token array through the generator so the trim/lower/regex
+    # tokenization runs once per document, not once per emitted chunk
     ex = _spread(df, id_col).select(
         F.col(id_col),
-        F.col(text_col),
+        toks.alias("__toks"),
         F.posexplode(starts).alias("chunk_idx", "__start"),
     )
-    chunk = F.slice(tokens(F.col(text_col)), F.col("__start"), chunk_size)
+    chunk = F.slice(F.col("__toks"), F.col("__start"), chunk_size)
     return ex.select(
         F.col(id_col),
         F.col("chunk_idx").cast("int"),

@@ -69,9 +69,7 @@ def decontamination_report(
     the doc id and map-side combined. Returns
     ``(id_col, n_shared, contamination)`` for contaminated train docs only.
     """
-    split = F.when(
-        (F.col(id_col) * SPLIT_MULT) % SPLIT_MOD < train_cut, "train"
-    ).otherwise("eval")
+    split = hash_split(id_col, train_cut)
     sh_arr = F.array_distinct(shingles(F.col(text_col), shingle_n))
     # The shingled projection feeds three consumers (train shingles, eval
     # vocabulary, per-doc totals); without materialization each one

@@ -190,6 +190,15 @@ class TestChunking:
         out = chunk_documents(docs, chunk_size=4, stride=4)
         assert [r["doc_id"] for r in out.collect()] == [3]
 
+    def test_null_text_no_rows(self, spark):
+        # size(NULL array) is -1 under the non-ANSI default; the starts
+        # guard must use <= 0 or sequence(1, -1, stride) throws at runtime.
+        docs = spark.createDataFrame(
+            [(1, None), (2, "real text here")], "doc_id long, text string"
+        )
+        out = chunk_documents(docs, chunk_size=4, stride=4)
+        assert [r["doc_id"] for r in out.collect()] == [2]
+
     def test_invalid_args(self, spark):
         docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):

@@ -88,7 +88,7 @@ def test_events_ts_independent_of_session_tz_mutation(spark):
     resolving against the action-time session TZ)."""
     from data_transform_make_spark.sources.loader import load_table
 
-    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    df = load_table(spark, SF_DIR, "events")
     baseline = df.selectExpr("min(unix_micros(ts)) AS m").first()["m"]
     try:
         spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")

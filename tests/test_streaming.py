@@ -45,9 +45,17 @@ def test_stream_session_window_matches_batch_sessionize(spark, sf_dir):
     w = F.expr(
         "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
     )
+    # exact micros, not cast('long') seconds: the fixture timestamps have
+    # sub-second parts, and a seconds-truncated diff can call a
+    # (1800s, 1801s) gap equal to the 30-min boundary while session_window
+    # (exact event time, strictly > gap splits) sees it as beyond.
     g = ev.withColumn(
         "is_new",
-        F.when(w.isNull() | (F.col("ts").cast("long") - w.cast("long") > 1800), 1).otherwise(0),
+        F.when(
+            w.isNull()
+            | (F.unix_micros(F.col("ts")) - F.unix_micros(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
     )
     s = g.withColumn(
         "sid",
