@@ -2110,6 +2110,60 @@ def ch1_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "d6_editdist_recheck",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, u.sh
+      FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
+                         FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    """,
+)
+def d6_editdist_recheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance re-ranking of near-dup candidate pairs: the exact
+    n-gram Jaccard pairs (d2) re-scored with character-level Levenshtein
+    — the precision pass a curation pipeline runs on the (tiny) candidate
+    set, never on the corpus. Shape: the expensive O(len²) distance is
+    computed on |pairs| rows only, texts re-attached by two narrow
+    id-keyed joins; both engines implement classic Levenshtein, so the
+    integer distances hash-match exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.2)
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__ta", "__tb").cast("int").alias("edit_dist"),
+        )
+    )
+
+
+@_register(
     "sk1_salted_join",
     """
     SELECT s_nationkey, count(*) AS n_items, SUM(l_quantity) AS sum_qty
