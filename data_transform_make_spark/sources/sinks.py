@@ -99,6 +99,58 @@ def write_sorted(
     out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on a Morton (Z-order) interleave of several
+    numeric columns, so per-file min/max stats are tight on EVERY listed
+    column at once — range predicates on any of them skip files at scan
+    time. ``write_sorted`` gives this for one dominant column; a plain
+    multi-column sort gives it only for the leading column (the trailing
+    columns' per-file ranges stay global). Z-order trades a little
+    per-column tightness for locality on all of them — the plain-parquet
+    equivalent of Delta/Iceberg ``OPTIMIZE ZORDER BY``.
+
+    Mechanics: each column is linearly scaled to ``bits``-bit integers
+    using global min/max (one small eager agg job), the bit patterns are
+    interleaved into one long sort key (codegen'd shift/mask expressions,
+    map-only), and the frame is range-partitioned + sorted on that key.
+    Columns must be numeric (cast timestamps via ``unix_micros`` at the
+    call site). Linear scaling assumes value ranges without extreme
+    outliers; rank-based scaling (ntile) is the robust variant at the
+    cost of an extra shuffle.
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("z-order needs >= 2 columns; use write_sorted for 1")
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    max_bucket = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        rng = (mx - mn) or 1.0
+        s = ((F.col(c).cast("double") - F.lit(mn)) / F.lit(rng) * max_bucket).cast(
+            "long"
+        )
+        scaled.append(s)
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, s in enumerate(scaled):
+            b = F.shiftright(s, bit).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(b, bit * k + j))
+    out = df.withColumn("__z", z)
+    out = out.repartitionByRange(*([n_files] if n_files else []), "__z")
+    out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
 def compact_small_files(
     spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> int:

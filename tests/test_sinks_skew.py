@@ -142,6 +142,59 @@ def test_write_sorted_rowgroup_stats(spark, tmp_path):
     assert spark.read.parquet(path).count() == 10000
 
 
+def test_write_zordered_tightens_stats_on_both_columns(spark, tmp_path):
+    """Z-order write: per-file min/max ranges are much tighter than global
+    on BOTH interleaved columns — a lexicographic sort only tightens the
+    leading column (the trailing one stays near-global per file)."""
+    from data_transform_make_spark.sources.sinks import write_sorted, write_zordered
+
+    n = 20000
+    # two independent dimensions (decorrelated via multiplicative hashing)
+    df = (
+        spark.range(0, n)
+        .withColumn("x", (F.col("id") * 7919) % 1000)
+        .withColumn("y", (F.col("id") * 104729) % 1000)
+    )
+
+    def per_file_ranges(path, col_name):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(
+                col_name
+            )
+            mn, mx = None, None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            spans.append(mx - mn)
+        return spans
+
+    zpath = str(tmp_path / "zordered")
+    write_zordered(df, zpath, ["x", "y"], bits=10, n_files=16)
+    spath = str(tmp_path / "lexsorted")
+    write_sorted(df, spath, ["x", "y"], n_files=16)
+
+    # both dimensions tighten under z-order (files cover ~1/sqrt(16)=1/4
+    # of each axis; allow slack for boundary files)
+    for c in ("x", "y"):
+        z_avg = sum(per_file_ranges(zpath, c)) / 16
+        assert z_avg < 1000 * 0.6, f"{c}: avg z-file span {z_avg}"
+    # the lexicographic sort leaves the trailing column near-global...
+    lex_y = sum(per_file_ranges(spath, "y")) / 16
+    assert lex_y > 1000 * 0.7
+    # ...which is exactly what z-order fixes
+    assert sum(per_file_ranges(zpath, "y")) / 16 < lex_y
+
+    # and the data round-trips intact
+    assert spark.read.parquet(zpath).count() == n
+
+
 def test_compact_small_files(spark, tmp_path):
     from data_transform_make_spark.sources.sinks import compact_small_files
 
