@@ -132,6 +132,11 @@ def write_zordered(
         *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(cols)],
     ).first()
+    if stats is None or any(stats[f"mn_{i}"] is None for i in range(k)):
+        # empty input (or an all-NULL column): nothing to order — write
+        # the frame as-is instead of crashing on None arithmetic
+        df.write.mode(mode).parquet(path)
+        return
     max_bucket = (1 << bits) - 1
     scaled = []
     for i, c in enumerate(cols):

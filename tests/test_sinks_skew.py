@@ -195,6 +195,15 @@ def test_write_zordered_tightens_stats_on_both_columns(spark, tmp_path):
     assert spark.read.parquet(zpath).count() == n
 
 
+def test_write_zordered_empty_input(spark, tmp_path):
+    from data_transform_make_spark.sources.sinks import write_zordered
+
+    df = spark.createDataFrame([], "x long, y long")
+    path = str(tmp_path / "zempty")
+    write_zordered(df, path, ["x", "y"])  # must not crash on None min/max
+    assert spark.read.parquet(path).count() == 0
+
+
 def test_compact_small_files(spark, tmp_path):
     from data_transform_make_spark.sources.sinks import compact_small_files
 
