@@ -107,10 +107,18 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
     Texts with fewer than n tokens yield a single shingle of all tokens, so
     short documents still participate in Jaccard/MinHash dedup.
+
+    NULL text yields an EMPTY array, not ``[""]``: ``size(NULL)`` is NULL
+    under ANSI (and -1 legacy), so an ``== 0`` guard misses it and
+    ``concat_ws`` over a NULL slice returns ``""`` — two NULL-text docs
+    would then share the "" shingle and score Jaccard 1.0, while the
+    DuckDB twins produce a NULL shingle that never equi-joins. Guarding
+    on the POSITIVE branch (``k > 0``) routes NULL, -1 and 0 alike to
+    "no shingles" on both engines.
     """
     toks = tokens(col)
     k = F.size(toks)
     n_sh = F.greatest(k - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(1), n_sh)
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(k == 0, F.array().cast("array<string>")).otherwise(sh)
+    return F.when(k > 0, sh).otherwise(F.array().cast("array<string>"))

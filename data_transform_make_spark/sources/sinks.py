@@ -128,6 +128,15 @@ def write_zordered(
     k = len(cols)
     if k < 2:
         raise ValueError("z-order needs >= 2 columns; use write_sorted for 1")
+    # the interleave must fit a SIGNED long: bit position 63 is the sign
+    # (those rows would sort first as negatives) and Java shiftleft wraps
+    # its shift amount mod 64 (aliasing high bits into low positions) —
+    # either silently degrades clustering. Auto-reduce per-column bits so
+    # bits * k <= 63 always holds; 63 // k still gives >= 15 bits/column
+    # for the realistic 2-4 column case.
+    bits = min(bits, 63 // k)
+    if bits < 1:
+        raise ValueError(f"z-order over {k} columns cannot fit a signed long")
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(cols)],

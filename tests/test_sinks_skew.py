@@ -216,3 +216,52 @@ def test_compact_small_files(spark, tmp_path):
     assert n == 1
     assert len(glob.glob(path + "/*.parquet")) == 1
     assert spark.read.parquet(path).count() == 5000
+
+
+def test_write_zordered_many_columns_fit_signed_long(spark, tmp_path):
+    # With the former fixed bits=16, 4 columns put a bit at position 63
+    # (sign bit: those rows sort FIRST as negatives) and 5+ columns
+    # wrapped Java's shiftleft (shift & 63), aliasing high bits into low
+    # positions — silently degraded clustering. bits must auto-reduce so
+    # bits * k <= 63.
+    from data_transform_make_spark.sources.sinks import write_zordered
+
+    df = spark.range(4096).selectExpr(
+        "id % 16 as a", "cast(id / 16 as long) % 16 as b",
+        "cast(id / 256 as long) % 16 as c", "id % 7 as d", "id % 11 as e",
+    )
+    path = str(tmp_path / "z5")
+    write_zordered(df, path, ["a", "b", "c", "d", "e"], n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 4096
+    # Round-trip content must be unchanged (ordering is the only effect).
+    assert back.groupBy().sum("a", "b", "c", "d", "e").collect() == (
+        df.groupBy().sum("a", "b", "c", "d", "e").collect()
+    )
+
+
+def test_write_zordered_4col_high_values_sort_last(spark, tmp_path):
+    # Sign-bit regression check: with 4 columns the top bit of the
+    # interleave used to land on bit 63, making the LARGEST values sort
+    # first (negative keys). After auto-reduction the max-everything rows
+    # must land in the last file, not the first.
+    from data_transform_make_spark.sources.sinks import write_zordered
+
+    df = spark.range(10000).selectExpr(
+        "id % 10 as a", "cast(id / 10 as long) % 10 as b",
+        "cast(id / 100 as long) % 10 as c", "cast(id / 1000 as long) % 10 as d",
+    )
+    path = str(tmp_path / "z4")
+    write_zordered(df, path, ["a", "b", "c", "d"], n_files=4)
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(path).withColumn("f", F.input_file_name())
+    files = sorted({r["f"] for r in back.select("f").distinct().collect()})
+    lo = {r["f"] for r in
+          back.filter("a=0 and b=0 and c=0 and d=0").select("f").distinct().collect()}
+    hi = {r["f"] for r in
+          back.filter("a=9 and b=9 and c=9 and d=9").select("f").distinct().collect()}
+    # part files sort in range-partition order: all-min rows belong in the
+    # first file, all-max rows in the last (they'd swap under the sign bug)
+    assert lo == {files[0]}
+    assert hi == {files[-1]}
