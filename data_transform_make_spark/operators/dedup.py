@@ -145,6 +145,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket_df: int | None = None,
     signatures: DataFrame | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding over MinHash signatures.
 
@@ -162,13 +163,19 @@ def minhash_lsh_pairs(
     disk): Spark has no DAG sharing without materialization, so the four
     lazy references (two band sides, two re-attach sides) would otherwise
     each recompute the full scan + 32-hash + groupBy subtree — measured
-    slower than simply shipping the arrays through the band join. The cache
-    is ~(256 B + id) per document; CacheManager keys entries by
-    canonicalized plan, so repeated calls over the same input share one
-    entry. At 100 TB, pass ``signatures=`` instead: write
-    :func:`minhash_signatures` output to a parquet signature table once and
-    feed it to any number of banding configurations — the persist is the
-    local-mode stand-in for exactly that pattern.
+    slower than simply shipping the arrays through the band join. The
+    persist's LIFETIME is scoped to this call: the (tiny) pair result is
+    eagerly materialized via ``localCheckpoint`` and the signature cache
+    dropped before returning, so repeated calls over distinct inputs do
+    NOT accumulate executor cache for the rest of the session (the
+    CacheManager holds plan-keyed entries until unpersist; a long-lived
+    multi-tenant session would otherwise leak one signature table per
+    distinct input). The cost is eager evaluation at call time — this is
+    a terminal pipeline product, not a composable lazy intermediate. At
+    100 TB, pass ``signatures=`` instead: write
+    :func:`minhash_signatures` output to a parquet signature table once
+    and feed it to any number of banding configurations (that path stays
+    fully lazy and persists nothing).
 
     ``max_bucket_df`` caps band-bucket membership (see
     :func:`_drop_hot_buckets`): a bucket of d near-identical docs otherwise
@@ -179,10 +186,17 @@ def minhash_lsh_pairs(
     buckets. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
+    owns_cache = signatures is None and eager
     if signatures is not None:
         sig = signatures
-    else:
+    elif eager:
         sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    else:
+        # eager=False: fully-lazy plan for inspection/composition — no
+        # persist, no checkpoint; the signature subtree is re-derived per
+        # consumer (4×), so use only for .explain or when the caller
+        # materializes through its own signatures= table.
+        sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     band_arr = F.array(
         *[
             F.xxhash64(
@@ -212,11 +226,20 @@ def minhash_lsh_pairs(
         F.filter(F.zip_with("mh_a", "mh_b", lambda a, b: a == b), lambda x: x)
     )
     est = agree.cast("double") / F.lit(float(num_hashes))
-    return (
+    out = (
         rescored.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    if owns_cache:
+        # materialize the (tiny) pair result, then release the signature
+        # cache — lifetime of the intermediate == lifetime of this call.
+        # The checkpointed blocks belong to the RESULT and are reclaimed
+        # by the ContextCleaner when the returned frame is dropped; on a
+        # real cluster prefer the signatures= parquet-table path.
+        out = out.localCheckpoint(eager=True)
+        sig.unpersist()
+    return out
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -389,6 +412,33 @@ def ngram_jaccard_pairs(
         joined.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def editdist_rerank(
+    docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Edit-distance re-ranking of a candidate pair frame — the precision
+    pass a curation pipeline runs on the (tiny) candidate set, never on
+    the corpus.
+
+    ``pairs`` is ANY (id_a, id_b) candidate source — exact n-gram Jaccard,
+    capped d2b, MinHash-LSH or SimHash output — so the expensive O(len²)
+    Levenshtein runs on |pairs| rows only; the texts are re-attached by
+    two narrow id-keyed joins (the candidate frame never carries text
+    through its own shuffles). Returns (id_a, id_b, edit_dist).
+    """
+    ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__ta", "__tb").cast("int").alias("edit_dist"),
+        )
     )
 
 

@@ -22,10 +22,11 @@ Scale notes (the 100 TB design point):
     partition before the exchange, so key skew does not concentrate
     rows), and two id-keyed hash joins. No driver-side graph state; the
     only driver actions are the per-round convergence counts.
-  * ``localCheckpoint(eager=True)`` each round cuts lineage — without it
-    round k re-derives rounds 1..k-1 and the DAG grows quadratically.
-    On a real cluster prefer reliable ``checkpoint`` to survive executor
-    loss; local mode has no HDFS so the local variant is used here.
+  * A checkpoint each round cuts lineage — without it round k re-derives
+    rounds 1..k-1 and the DAG grows quadratically. ``checkpoint_dir``
+    selects the flavor: ``localCheckpoint`` by default (local mode has no
+    HDFS), reliable ``DataFrame.checkpoint`` against the given store path
+    on a real cluster, surviving executor loss mid-computation.
   * Near-dup components are dense (templated text collides everywhere),
     so diameters are tiny and rounds ~2-3 in practice; ``max_iter``
     bounds the pathological chain.
@@ -43,6 +44,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Assign every vertex in the pair graph its component's min vertex id.
 
@@ -54,7 +56,25 @@ def connected_components(
 
     Deterministic: the fixpoint (min reachable id) does not depend on
     iteration order, partitioning, or the number of rounds taken.
+
+    ``checkpoint_dir`` selects the per-round lineage cut: ``None`` (local
+    mode / tests) uses ``localCheckpoint`` — blocks live on executors, so
+    an executor loss past round 1 kills the job; on a real cluster pass a
+    reliable store path (HDFS/S3) and rounds checkpoint through
+    ``DataFrame.checkpoint`` instead, surviving executor loss at the cost
+    of one distributed write per round. Checkpoint files are not deleted
+    by default — set ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    or point ``checkpoint_dir`` at a TTL'd/job-scoped path.
     """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -64,7 +84,7 @@ def connected_components(
     labels = edges.select(F.col("u").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
-    labels = labels.localCheckpoint(eager=True)
+    labels = _cut(labels)
 
     for _ in range(max_iter):
         # 1. neighbor-min: min label over each vertex's neighborhood.
@@ -92,7 +112,7 @@ def connected_components(
         jumped = stepped.join(lut, "label", "left").select(
             "id", "__old", F.coalesce("__jump", "label").alias("label")
         )
-        jumped = jumped.localCheckpoint(eager=True)
+        jumped = _cut(jumped)
         changed = jumped.filter(F.col("label") < F.col("__old")).count()
         labels = jumped.drop("__old")
         if changed == 0:

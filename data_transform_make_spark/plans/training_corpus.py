@@ -47,6 +47,7 @@ def decontamination_report(
     text_col: str = "text",
     shingle_n: int = 3,
     train_cut: int = SPLIT_TRAIN_CUT,
+    eager: bool = True,
 ) -> DataFrame:
     """Eval-set contamination check: train-split documents that share at
     least one distinct word n-gram with any eval-split document.
@@ -74,12 +75,17 @@ def decontamination_report(
     # The shingled projection feeds three consumers (train shingles, eval
     # vocabulary, per-doc totals); without materialization each one
     # re-scans the corpus and re-runs the shingle expressions (audited:
-    # 4 parquet scans). persist() collapses that to one pass — the 100 TB
+    # 4 parquet scans). persist() collapses that to one pass — scoped to
+    # THIS call: the (small) report is eagerly materialized below and the
+    # cache released before returning, so repeated reports over distinct
+    # corpora don't accumulate executor cache session-long. The 100 TB
     # equivalent is checkpointing the shingled projection to Parquet, or
     # accepting ~3 column-pruned scans if storage is tighter than compute.
     base = docs.select(
         F.col(id_col), split.alias("__split"), sh_arr.alias("__shs")
-    ).persist()
+    )
+    if eager:
+        base = base.persist()
     train_sh = (
         base.filter(F.col("__split") == "train")
         .select(F.col(id_col), F.explode("__shs").alias("__sh"))
@@ -97,18 +103,25 @@ def decontamination_report(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared"))
     )
-    return shared.join(sizes, id_col).select(
+    out = shared.join(sizes, id_col).select(
         F.col(id_col),
         F.col("n_shared"),
         (F.col("n_shared").cast("double") / F.col("__n").cast("double")).alias(
             "contamination"
         ),
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
+    return out
 
 
 def _quality_exact(docs: DataFrame, quality_min: float) -> DataFrame:
     """Shared pipeline prefix: quality gate, then exact (fingerprint)
-    dedup, persisted once."""
+    dedup. Returned LAZY and uncached — the builders persist it for the
+    duration of their pipeline and release it before returning (the
+    deduped corpus feeds two consumers there; a leaked session-long cache
+    of a near-full corpus is the worst-case CacheManager accumulation)."""
     quality = docs.filter(quality_score("text") >= quality_min)
 
     w = Window.partitionBy(doc_fingerprint("text")).orderBy("doc_id")
@@ -116,13 +129,6 @@ def _quality_exact(docs: DataFrame, quality_min: float) -> DataFrame:
         quality.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        # the deduped corpus is consumed twice (shingle pairs + the final
-        # anti-join); without materialization Spark re-derives the quality
-        # regexes and the fingerprint shuffle per consumer (audited: 4
-        # scans of documents). persist() collapses that to one pass — the
-        # 100 TB equivalent is checkpointing the deduped corpus to Parquet
-        # between the dedup and near-dup stages.
-        .persist()
     )
 
 
@@ -148,6 +154,9 @@ def build_training_corpus(
     quality_min: float = 0.66,
     near_dup_threshold: float = 0.2,
     train_cut: int = SPLIT_TRAIN_CUT,
+    max_df: int | None = None,
+    pairs: DataFrame | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Run the full curation pipeline; returns per-(split, lang) stats.
 
@@ -155,14 +164,35 @@ def build_training_corpus(
     the smaller id). Cheap (no iteration) but under-merges chains: for
     pairs (A,C),(B,C) it keeps both A and B.
     :func:`build_training_corpus_clustered` is the cluster-exact variant.
+
+    ``max_df`` forwards to :func:`ngram_jaccard_pairs`'s hot-shingle valve
+    (the 100 TB posture). ``pairs`` injects a precomputed candidate frame
+    — (id_a, id_b) over the quality+exact-deduped ids — e.g. the persisted
+    output of a MinHash-LSH pass, mirroring ``signatures=`` one level up;
+    when given, pair generation is skipped entirely (``max_df`` ignored).
     """
+    # the deduped corpus feeds two consumers (pair generation + the final
+    # anti-join); without materialization Spark re-derives the quality
+    # regexes and the fingerprint shuffle per consumer (audited: 4 scans
+    # of documents). The persist is scoped to this call — the (tiny)
+    # stats result is materialized eagerly, then the cache released; the
+    # 100 TB equivalent is checkpointing the deduped corpus to Parquet
+    # between the dedup and near-dup stages.
     exact = _quality_exact(docs, quality_min)
-    pairs = ngram_jaccard_pairs(
-        exact, "doc_id", "text", shingle_n=3, threshold=near_dup_threshold
-    )
+    if eager:
+        exact = exact.persist()
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            exact, "doc_id", "text", shingle_n=3,
+            threshold=near_dup_threshold, max_df=max_df,
+        )
     drop_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept = exact.join(drop_ids, "doc_id", "left_anti")
-    return _split_stats(kept, train_cut)
+    stats = _split_stats(kept, train_cut)
+    if eager:
+        stats = stats.localCheckpoint(eager=True)
+        exact.unpersist()
+    return stats
 
 
 def build_training_corpus_clustered(
@@ -170,6 +200,9 @@ def build_training_corpus_clustered(
     quality_min: float = 0.66,
     near_dup_threshold: float = 0.2,
     train_cut: int = SPLIT_TRAIN_CUT,
+    max_df: int | None = None,
+    pairs: DataFrame | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """The curation pipeline with the published-standard near-dup policy:
     connected components over the pair graph, keep exactly one document
@@ -181,16 +214,33 @@ def build_training_corpus_clustered(
     round, O(log diameter) rounds, lineage cut per round). The drop set
     is every non-representative cluster member — still tiny relative to
     the corpus, so the anti-join broadcasts under AQE.
+
+    ``max_df`` / ``pairs`` as in :func:`build_training_corpus` — the
+    production wiring at 100 TB is capped (or LSH) candidates feeding the
+    cluster step. Dropping candidate edges can only SPLIT clusters, so
+    the capped pipeline's kept set is always a superset of the exact
+    pipeline's kept set (property-tested in tests/test_curation_ops.py).
     """
     from ..operators.graph import connected_components
 
+    # persist scope identical to build_training_corpus: released after the
+    # eager stats materialization below. The CC rounds run eagerly anyway
+    # (per-round convergence counts), so this adds no extra jobs.
     exact = _quality_exact(docs, quality_min)
-    pairs = ngram_jaccard_pairs(
-        exact, "doc_id", "text", shingle_n=3, threshold=near_dup_threshold
-    )
+    if eager:
+        exact = exact.persist()
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            exact, "doc_id", "text", shingle_n=3,
+            threshold=near_dup_threshold, max_df=max_df,
+        )
     cc = connected_components(pairs, src="id_a", dst="id_b")
     drop_ids = cc.filter(F.col("cluster_id") != F.col("id")).select(
         F.col("id").alias("doc_id")
     )
     kept = exact.join(drop_ids, "doc_id", "left_anti")
-    return _split_stats(kept, train_cut)
+    stats = _split_stats(kept, train_cut)
+    if eager:
+        stats = stats.localCheckpoint(eager=True)
+        exact.unpersist()
+    return stats

@@ -215,3 +215,178 @@ class TestChunking:
         # ceil(100/5)=20 chunks; sum of window sizes >= 100 (overlap counted)
         assert out.count() == 20
         assert total >= 100
+
+
+class TestCappedCandidateInjection:
+    """Round-5 production wiring: the hot-shingle valve / precomputed
+    candidate frames feeding the cluster-exact curation pipeline."""
+
+    def _docs(self, spark, sf_dir):
+        from data_transform_make_spark.sources.loader import load_table
+
+        return load_table(spark, sf_dir, "documents")
+
+    def test_capped_kept_set_is_superset(self, spark, sf_dir):
+        # Capped candidates ⊆ exact candidates -> fewer edges can only
+        # SPLIT clusters -> fewer non-representative members dropped ->
+        # the capped pipeline keeps a SUPERSET of the exact pipeline's
+        # corpus. Observable at the stats level as per-group n_docs >=.
+        from data_transform_make_spark.plans.training_corpus import (
+            build_training_corpus_clustered,
+        )
+
+        docs = self._docs(spark, sf_dir)
+        exact = {
+            (r["split"], r["lang"]): r["n_docs"]
+            for r in build_training_corpus_clustered(docs).collect()
+        }
+        capped = {
+            (r["split"], r["lang"]): r["n_docs"]
+            for r in build_training_corpus_clustered(docs, max_df=5).collect()
+        }
+        assert set(exact) <= set(capped)
+        for k, n in exact.items():
+            assert capped[k] >= n
+
+    def test_pairs_injection_matches_max_df_path(self, spark, sf_dir):
+        # Injecting the precomputed capped candidate frame must be
+        # byte-identical to letting the builder generate it (the
+        # signatures= pattern one level up: at 100 TB the pairs frame is
+        # a persisted parquet table reused across policy configurations).
+        from data_transform_make_spark.operators.dedup import ngram_jaccard_pairs
+        from data_transform_make_spark.plans.training_corpus import (
+            _quality_exact,
+            build_training_corpus_clustered,
+        )
+
+        docs = self._docs(spark, sf_dir)
+        exact = _quality_exact(docs, 0.66)
+        pairs = ngram_jaccard_pairs(
+            exact, "doc_id", "text", shingle_n=3, threshold=0.2, max_df=5
+        )
+        via_cap = sorted(
+            map(tuple, build_training_corpus_clustered(docs, max_df=5).collect())
+        )
+        via_inj = sorted(
+            map(tuple, build_training_corpus_clustered(docs, pairs=pairs).collect())
+        )
+        assert via_cap == via_inj
+
+    def test_editdist_rerank_accepts_any_pair_frame(self, spark):
+        from data_transform_make_spark.operators.dedup import editdist_rerank
+
+        docs = spark.createDataFrame(
+            [(1, "kitten"), (2, "sitting"), (3, "kitten")],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3)], "id_a long, id_b long"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["edit_dist"]
+            for r in editdist_rerank(docs, pairs, "doc_id", "text").collect()
+        }
+        assert got == {(1, 2): 3, (1, 3): 0}
+
+
+class TestNullTextShingles:
+    def test_null_text_yields_empty_shingle_array(self, spark):
+        # size(NULL)=-1 used to skip the ==0 guard: concat_ws over a NULL
+        # slice produced [""], so two NULL-text docs scored Jaccard 1.0
+        # while the DuckDB twin's NULL shingle never equi-joins — a
+        # cross-engine divergence for dec1/dc1/d6/ll2. NULL must shingle
+        # to an EMPTY array on both engines.
+        from data_transform_make_spark.functions.text import shingles
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, None), (3, "real text here now")],
+            "doc_id long, text string",
+        )
+        arrs = {
+            r["doc_id"]: r["sh"]
+            for r in docs.select("doc_id", shingles("text").alias("sh")).collect()
+        }
+        assert arrs[1] == [] and arrs[2] == []
+        assert arrs[3]
+
+    def test_null_text_docs_produce_no_pairs(self, spark):
+        from data_transform_make_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, None), (3, "a b c d"), (4, "a b c d")],
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", shingle_n=3, threshold=0.5
+            ).collect()
+        }
+        assert pairs == {(3, 4)}  # the NULL docs never pair, even with each other
+
+
+class TestCacheHygiene:
+    """Persist lifetimes are scoped to the operator call: the CacheManager
+    must hold NO cached plans after each corpus-facing fn returns, so a
+    long-lived multi-tenant session doesn't accumulate executor cache per
+    distinct input. (localCheckpoint blocks belong to the RESULT frame and
+    are reclaimed by the ContextCleaner when it is dropped — they do not
+    register in the CacheManager.)"""
+
+    def _cache_empty(self, spark):
+        return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    def test_minhash_lsh_pairs_releases_signature_cache(self, spark):
+        from data_transform_make_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = spark.createDataFrame(
+            [(i, f"doc number {i} with some shared tokens here") for i in range(30)],
+            "doc_id long, text string",
+        )
+        out = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.2)
+        out.count()
+        assert self._cache_empty(spark)
+
+    def test_decontamination_report_releases_cache(self, spark):
+        from data_transform_make_spark.plans.training_corpus import (
+            decontamination_report,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "the quick brown fox jumps again") for i in range(1, 20)],
+            "doc_id long, text string",
+        )
+        decontamination_report(docs).count()
+        assert self._cache_empty(spark)
+
+    def test_training_corpus_builders_release_cache(self, spark, sf_dir):
+        from data_transform_make_spark.sources.loader import load_table
+        from data_transform_make_spark.plans.training_corpus import (
+            build_training_corpus,
+            build_training_corpus_clustered,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        build_training_corpus(docs).count()
+        assert self._cache_empty(spark)
+        build_training_corpus_clustered(docs).count()
+        assert self._cache_empty(spark)
+
+
+class TestReliableCheckpoint:
+    def test_connected_components_reliable_path(self, spark, tmp_path):
+        from data_transform_make_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        out = connected_components(edges, checkpoint_dir=str(tmp_path / "ckpt"))
+        got = {r["id"]: r["cluster_id"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        # the reliable path actually wrote checkpoint data to the dir
+        import os
+
+        files = [
+            p for (root, _, names) in os.walk(tmp_path / "ckpt") for p in names
+        ]
+        assert files, "reliable checkpoint wrote nothing"

@@ -295,3 +295,30 @@ def test_ivf_topk_recall(spark):
     recall = len(set(truth) & approx) / len(truth)
     assert recall >= 0.8, f"IVF top-k recall {recall:.2f}"
     assert 0 in approx
+
+
+def test_d5c_corpus_entry_recall_vs_exact(spark, sf_dir):
+    # The driver records d5c rows-only (63 pairs at sf0.01); this pins the
+    # interpretation: on the SAME planted frame the corpus entry uses, the
+    # entry's output must capture >= 0.9 of the exact brute-force pairs at
+    # the same threshold, and be a subset of them (exact cosine re-check =
+    # full precision).
+    from data_transform_make_spark import corpus
+    from data_transform_make_spark.corpus import _planted_near_dup_embeddings
+    from data_transform_make_spark.operators.dedup import embedding_near_dup_pairs
+    from data_transform_make_spark.sources.loader import load_table
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in corpus.d5c_embedding_near_dup_lsh_planted(spark, sf_dir).collect()
+    }
+    union = _planted_near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            union, "vec_id", "embedding", threshold=0.98
+        ).collect()
+    }
+    assert exact, "planted frame must contain true near-dup pairs"
+    assert got <= exact  # precision exact by construction
+    assert len(got) / len(exact) >= 0.9  # recall bound on the entry itself

@@ -72,7 +72,14 @@ def main() -> int:
     failures: dict[str, list[str]] = {}
     for name, fn in sorted(qs.items()):
         try:
-            df = fn(spark, sf_dir)
+            # entries whose default path eagerly materializes through a
+            # scoped-cache localCheckpoint (d3, dec1, ll1-ll3) expose
+            # eager=False: the identical composed plan, fully lazy, so the
+            # audit sees the real shapes instead of one Scan ExistingRDD
+            try:
+                df = fn(spark, sf_dir, eager=False)
+            except TypeError:
+                df = fn(spark, sf_dir)
             df.collect()  # execute so the AQE plan finalizes (codegen ids,
             # runtime join selections) — we audit the plan that actually ran
             plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
