@@ -717,6 +717,139 @@ def ta4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ta5_repetition",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, u.sh
+      FROM toks, UNNEST([array_to_string(t[i : i + 1], ' ')
+                         FOR i IN generate_series(1, GREATEST(len(t) - 1, 1))]) AS u(sh)
+    ), counts AS (
+      SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_ngram_frac
+    FROM counts GROUP BY doc_id
+    """,
+)
+def ta5_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality stats (the Gopher-rules family): per doc,
+    the fraction of word 2-grams occupied by the single most frequent
+    2-gram — templated/boilerplate text scores high and gets filtered
+    before training. Set-oriented: explode ALL 2-grams (not distinct),
+    one (doc, gram) count shuffle (map-side combined), one per-doc
+    max/sum agg; the fraction is integer-derived double division, exact
+    on both engines. Map-scale at 100 TB: output is one row per doc."""
+    from .functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id"), F.explode(shingles(F.col("text"), 2)).alias("__sh")
+    )
+    counts = sh.groupBy("doc_id", "__sh").agg(F.count("*").alias("__c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("__c").alias("n_ngrams"),
+        (F.max("__c").cast("double") / F.sum("__c").cast("double")).alias(
+            "top_ngram_frac"
+        ),
+    ).select("doc_id", "n_ngrams", "top_ngram_frac")
+
+
+@_register(
+    "pii1_redaction",
+    r"""
+    WITH aug AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' contact agent007@example-mail.com now' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' or call 555-867-5309 today' ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+      md5(regexp_replace(
+            regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS clean_md5
+    FROM aug
+    """,
+)
+def pii1_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count + redact emails/phones
+    with typed placeholders (functions/text.py redact_pii — map-only
+    codegen'd regexes, identical under Java regex and RE2). The fixture
+    text has no PII, so deterministic addresses/numbers are planted on a
+    doc_id grid (the i1/d5c synthesis pattern) — the driver row shows
+    the operator actually firing; md5 of the redacted text keeps the
+    full scrubbed output hash-checked without shipping it."""
+    from .functions.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" contact agent007@example-mail.com now"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(" or call 555-867-5309 today"),
+            ).otherwise(F.lit("")),
+        ).alias("__t"),
+    )
+    n_emails, n_phones = pii_counts(F.col("__t"))
+    return aug.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(redact_pii(F.col("__t"))).alias("clean_md5"),
+    )
+
+
+@_register(
+    "tf1_keyword_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    ), tok AS (
+      SELECT doc_id, u.term FROM toks, UNNEST(t) AS u(term)
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(*) AS d FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.c AS DOUBLE) / CAST(df.d AS DOUBLE) AS score
+      FROM tf JOIN df ON tf.term = df.term
+    )
+    SELECT doc_id, term, score, rnk FROM (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def tf1_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by the exact tf/df
+    score (operators/keywords.py — tf-idf ordering intent without a
+    transcendental in the output, so both engines produce identical
+    bits; ranking totally ordered by (score desc, term asc))."""
+    from .operators.keywords import tfidf_topk_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk_terms(docs, "doc_id", "text", k=3)
+
+
+@_register(
     "d2_ngram_jaccard",
     r"""
     WITH toks AS (
@@ -2501,18 +2634,18 @@ _DRIVER_WINDOW = [
     # round-5 additions (new entries start life inside the window)
     "ll3_training_corpus_capped",
     "dc2_dedup_clusters_capped",
+    "ta5_repetition",
+    "pii1_redaction",
+    "tf1_keyword_topk",
     # representative fill (certified r1-r4; re-certified this round)
     "w2_topk_per_group",
     "d1_exact_dedup",
     "d2b_ngram_jaccard_capped",
     "ta1_text_stats",
     "dt1_date_buckets",
-    "x1_json_extract",
     "s1_set_ops",
     "j2_as_of_join",
     "j3_range_join",
-    "w5_global_topk",
-    "g2_cube",
 ]
 
 

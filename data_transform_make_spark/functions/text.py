@@ -122,3 +122,32 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     idx = F.sequence(F.lit(1), n_sh)
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.when(k > 0, sh).otherwise(F.array().cast("array<string>"))
+
+
+# PII patterns chosen for cross-engine determinism: plain character
+# classes and bounded repetition only — valid and identical under Java
+# regex (Spark) and RE2 (DuckDB); no backreferences, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) occurrence counts — the audit half of
+    redaction: at 100 TB the counts feed a per-source contamination
+    dashboard while the scrubbed text is written out."""
+    c = _c(col)
+    return (
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"),
+        F.regexp_count(c, F.lit(PHONE_RE)).cast("long"),
+    )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every email / phone occurrence with a typed placeholder.
+
+    Map-only codegen'd regexp_replace (replaces ALL matches; DuckDB twin
+    needs the 'g' flag). Order matters: emails first, so a phone-looking
+    substring inside an already-redacted email cannot double-fire."""
+    c = _c(col)
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, PHONE_RE, "<PHONE>")

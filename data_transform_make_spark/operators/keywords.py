@@ -1,0 +1,56 @@
+"""Per-document keyword extraction (SURVEY.md §2.10 — the feature side of
+a training-data pipeline: per-doc salient terms for routing, domain
+mixing, and topic-balance dashboards).
+
+Score: tf/df — term frequency in the document over the term's corpus
+document frequency. This keeps the classic tf-idf ORDERING intent (rare
+terms with many in-doc occurrences win) while staying bit-exact across
+engines: a real ``tf * ln(N/df)`` puts a transcendental in the output and
+libm rounding is not guaranteed identical between the JVM and DuckDB; a
+ratio of two integers is exact IEEE on both (the corpus header's
+"integer-derived double division only" rule). The ranking is totally
+ordered (score desc, term asc) so row picks can never diverge.
+
+Scale shape (100 TB): one explode + groupBy(doc, term) shuffle for tf
+(map-side combined), one groupBy(term) over that (already partitioned by
+a superset key — AQE reuses locality where it can) for df, one equi-join
+keyed on the term (vocabulary-sized right side — zipfian vocabularies
+are small relative to the corpus, AQE broadcasts from measured size),
+and one per-doc window for the top-k. Nothing driver-side, nothing
+quadratic; the k cap bounds output to k rows per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def tfidf_topk_terms(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by the exact tf/df score.
+
+    Returns (id_col, term, score, rnk) with rnk in 1..k; ties broken by
+    term ascending (total order — cross-engine stable).
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("__tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    scored = tf.join(df, "term").select(
+        F.col(id_col),
+        F.col("term"),
+        (F.col("__tf").cast("double") / F.col("__df").cast("double")).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "score", "rnk")
+    )

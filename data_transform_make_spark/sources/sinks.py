@@ -210,3 +210,28 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    n_files: int | None = None,
+    compression: str = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Export a frame as compressed JSON-Lines — the interchange format
+    LLM training stacks actually ingest (one JSON object per line,
+    .jsonl.gz shards).
+
+    Spark's native json writer already IS jsonl (one object per line per
+    file); this wrapper bakes in the export-shaped decisions: shard-count
+    control (``n_files`` repartition — training loaders want a few large
+    shards, not one file per shuffle partition), gzip (splittability does
+    not matter for a terminal export; size does), and a stable column
+    order (select in the frame's declared order so re-exports diff
+    cleanly). Round-trips through ``spark.read.json`` / any jsonl loader.
+    """
+    out = df.repartition(n_files) if n_files else df
+    out.select(*df.columns).write.mode(mode).option(
+        "compression", compression
+    ).json(path)

@@ -265,3 +265,26 @@ def test_write_zordered_4col_high_values_sort_last(spark, tmp_path):
     # first file, all-max rows in the last (they'd swap under the sign bug)
     assert lo == {files[0]}
     assert hi == {files[-1]}
+
+
+def test_write_jsonl_round_trip(spark, tmp_path):
+    import glob
+    import gzip
+    import json
+
+    from data_transform_make_spark.sources.sinks import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alpha", ["a", "b"]), (2, "beta", [])],
+        "doc_id long, text string, tags array<string>",
+    )
+    path = str(tmp_path / "export")
+    write_jsonl(df, path, n_files=1)
+    files = glob.glob(path + "/*.json.gz")
+    assert len(files) == 1  # shard-count control honored
+    with gzip.open(files[0], "rt") as f:
+        rows = [json.loads(line) for line in f]
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]
+    back = spark.read.json(path)
+    assert back.count() == 2
+    assert {r["text"] for r in back.collect()} == {"alpha", "beta"}
