@@ -1266,6 +1266,43 @@ def st5_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_session_window(spark, sf_dir, gap="30 minutes")
 
 
+@_register(
+    "st6_stream_ingest_routing",
+    """
+    WITH raw AS (
+      SELECT event_id, props,
+             CASE WHEN event_id % 50 = 0 THEN 'bad'
+                  WHEN event_id % 97 = 1 THEN 'empty'
+                  ELSE 'ok' END AS kind
+      FROM events
+    )
+    SELECT 'parsed' AS leg, count(*) AS n,
+           CAST(SUM(CASE WHEN kind = 'ok'
+                         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    END) AS BIGINT) AS k_sum
+    FROM raw WHERE kind <> 'bad'
+      AND NOT (kind = 'ok' AND strlen(props) > 5242880)
+    UNION ALL
+    SELECT 'invalid_json' AS leg, count(*) AS n, CAST(NULL AS BIGINT) AS k_sum
+    FROM raw WHERE kind = 'bad'
+    UNION ALL
+    SELECT 'payload_too_large' AS leg, count(*) AS n,
+           CAST(NULL AS BIGINT) AS k_sum
+    FROM raw WHERE kind = 'ok' AND strlen(props) > 5242880
+    """,
+)
+def st6_stream_ingest_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-ingest dead-letter chain as a REAL streaming query — what
+    the reference's webhook endpoint actually is (one raw body per
+    trigger, server.js:11-39). Same single-pass sanitize+parse+route
+    projection as i1 inside a readStream; per-leg counts in complete
+    mode; oracle = i1's batch SQL verbatim (availableNow over a static
+    source must reproduce the batch answer exactly)."""
+    from .streaming.pipelines import streaming_ingest_routing
+
+    return streaming_ingest_routing(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # M5 multimodal plumbing (SURVEY.md §2.10)
 # ---------------------------------------------------------------------------
@@ -2637,12 +2674,12 @@ _DRIVER_WINDOW = [
     "ta5_repetition",
     "pii1_redaction",
     "tf1_keyword_topk",
+    "st6_stream_ingest_routing",
     # representative fill (certified r1-r4; re-certified this round)
     "w2_topk_per_group",
     "d1_exact_dedup",
     "d2b_ngram_jaccard_capped",
     "ta1_text_stats",
-    "dt1_date_buckets",
     "s1_set_ops",
     "j2_as_of_join",
     "j3_range_join",

@@ -81,8 +81,20 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = edges.select(F.col("u").alias("id")).distinct().select(
-        "id", F.col("id").alias("label")
+    # Seeded init: label(u) = min(u, min neighbor) — the neighbor-min half
+    # of round 1 folded into the vertex-set construction. Costs the same
+    # single shuffle as the old distinct-vertices + identity init (groupBy
+    # on the doubled edge list instead of distinct on it), and dense
+    # near-dup components (the common case) then converge one full round
+    # — three jobs and a checkpoint — earlier. The fixpoint is unchanged:
+    # labels only ever decrease toward the component min.
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("__mn"))
+        .select(
+            F.col("u").alias("id"),
+            F.least(F.col("u"), F.col("__mn")).alias("label"),
+        )
     )
     labels = _cut(labels)
 

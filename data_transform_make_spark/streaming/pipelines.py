@@ -312,3 +312,43 @@ def streaming_order_pipeline(
         lambda batch, inv: order_webhook_pipeline(batch, inv).updated_inventory,
         state_dir,
     )
+
+
+def streaming_ingest_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S2-S4 raw-ingest chain as a REAL streaming query — the shape the
+    reference actually is (a webhook endpoint IS an unbounded stream of
+    raw bodies; server.js:11-39 processes one element per trigger).
+
+    Per micro-batch, map-only: synthesize the raw body per event (the i1
+    grid: every 50th corrupted, every 97th blank), sanitize + permissive-
+    parse + tag routing in ONE projection (sources/ingest.py
+    ingest_with_reason — no per-leg re-scan), then a streaming groupBy on
+    the leg tag (complete mode; state is 3 rows). The literal legs join
+    runs batch-side on the materialized result so empty legs still
+    surface with n=0. Oracle: the identical batch SQL as i1 — availableNow
+    over a static source must reproduce the batch answer exactly.
+    """
+    from pyspark.sql import types as T
+
+    from ..sources.ingest import ingest_with_reason
+
+    ev = stream_events(spark, sf_dir)
+    raw = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 50 == 0, F.lit("{bad"))
+        .when(F.col("event_id") % 97 == 1, F.lit("  \x00"))
+        .otherwise(F.concat(F.lit("  "), F.col("props"), F.lit("\x00 ")))
+        .alias("raw_body"),
+    )
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    tagged = ingest_with_reason(raw, schema)
+    agg = tagged.groupBy(
+        F.coalesce("reject_reason", F.lit("parsed")).alias("leg")
+    ).agg(F.count("*").alias("n"), F.sum("record.k").alias("k_sum"))
+    mem = _run_to_memory(agg, "complete")
+    legs = spark.createDataFrame(
+        [("parsed",), ("invalid_json",), ("payload_too_large",)], "leg string"
+    )
+    return legs.join(mem, "leg", "left").select(
+        "leg", F.coalesce("n", F.lit(0)).alias("n"), "k_sum"
+    )

@@ -255,3 +255,22 @@ def test_streaming_process_pipeline(spark, tmp_path):
     assert post["I1"].qty_office == 4
     assert post["I1"].qty_warehouse == 0
     assert post["I1"].qty_completed == 1
+
+
+def test_stream_ingest_routing_matches_batch(spark, sf_dir):
+    # The streaming dead-letter chain over a static source must reproduce
+    # the batch i1 answer exactly (same synthesis grid, same single-pass
+    # tagged routing, availableNow catch-up).
+    from data_transform_make_spark import corpus
+
+    got = {
+        r["leg"]: (r["n"], r["k_sum"])
+        for r in corpus.st6_stream_ingest_routing(spark, sf_dir).collect()
+    }
+    want = {
+        r["leg"]: (r["n"], r["k_sum"])
+        for r in corpus.i1_ingest_dead_letter(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert set(got) == {"parsed", "invalid_json", "payload_too_large"}
+    assert got["payload_too_large"][0] == 0  # grid plants no oversize bodies
