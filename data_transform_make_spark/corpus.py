@@ -850,6 +850,97 @@ def tf1_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "mix1_domain_mixing",
+    """
+    WITH kept AS (
+      SELECT * FROM documents
+      WHERE (doc_id * 2246822507) % 4294967296 <
+            CASE lang WHEN 'en' THEN 4294967296
+                      WHEN 'de' THEN 2147483648
+                      WHEN 'es' THEN 1073741824
+                      WHEN 'fr' THEN 429496729
+                      ELSE 0 END
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY lang
+    """,
+)
+def mix1_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing (plans/training_corpus.py domain_mix):
+    per-language keep fractions as exact integer hash thresholds out of
+    2^32 (en 100%, de 50%, es 25%, fr 10%, zh dropped) — the
+    up/down-sampling step that sets a training mixture's domain weights,
+    reproducible under re-runs/repartition/engine change where
+    sample()/TABLESAMPLE are not. Map-only filter; the mixing hash uses a
+    different odd multiplier than the train/eval split so the two
+    decisions are decorrelated."""
+    from .plans.training_corpus import SPLIT_MOD, domain_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {
+        "en": SPLIT_MOD,            # 4294967296: keep all
+        "de": SPLIT_MOD // 2,       # 2147483648
+        "es": SPLIT_MOD // 4,       # 1073741824
+        "fr": SPLIT_MOD // 10,      # 429496729
+    }
+    kept = domain_mix(docs, fractions)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+
+
+@_register(
+    "pack1_token_budget",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        ((CASE WHEN len(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN (CASE WHEN len(text) = 0 THEN 0.0
+                ELSE CAST(len(text) - len(regexp_replace(text,
+                     '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) END)
+              <= 0.2 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)),
+                     '\s+'), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+                     AS DOUBLE)
+                     / len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
+              >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+          AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT *, SUM(n_tokens) OVER (
+        PARTITION BY lang ORDER BY quality DESC, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM packed WHERE cum_tokens <= 3000
+    """,
+)
+def pack1_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language data selection under a token budget
+    (plans/training_corpus.py pack_token_budget): rank by (quality desc,
+    doc_id) — a total order — and keep the strict prefix whose running
+    token total fits 3000 tokens. One window per group; the running
+    state is a single long. The 'best N tokens per domain' step of
+    corpus assembly. The quality score itself stays OUT of the output:
+    DuckDB's 1.0 literals are DECIMAL, so its division by 3.0 rounds
+    decimally while Spark divides doubles — the RANKING is identical
+    (both are monotone in the integer rule-sum) but the bytes are not;
+    ids + integer token counts keep the hash comparison exact."""
+    from .plans.training_corpus import pack_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_token_budget(docs, 3000).select(
+        "doc_id", "lang", "n_tokens", "cum_tokens"
+    )
+
+
+@_register(
     "d2_ngram_jaccard",
     r"""
     WITH toks AS (
@@ -2675,12 +2766,12 @@ _DRIVER_WINDOW = [
     "pii1_redaction",
     "tf1_keyword_topk",
     "st6_stream_ingest_routing",
+    "mix1_domain_mixing",
+    "pack1_token_budget",
     # representative fill (certified r1-r4; re-certified this round)
     "w2_topk_per_group",
     "d1_exact_dedup",
     "d2b_ngram_jaccard_capped",
-    "ta1_text_stats",
-    "s1_set_ops",
     "j2_as_of_join",
     "j3_range_join",
 ]

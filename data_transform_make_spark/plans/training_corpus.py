@@ -244,3 +244,68 @@ def build_training_corpus_clustered(
         stats = stats.localCheckpoint(eager=True)
         exact.unpersist()
     return stats
+
+
+# Domain-mixing hash constant — a DIFFERENT odd multiplier than the
+# train/eval split's so the two decisions are decorrelated (a doc's split
+# must not predict its mixing fate). Same exact-integer-literal rule as
+# SPLIT_TRAIN_CUT: thresholds are precomputed ints, never call-site float
+# arithmetic.
+MIX_MULT = 2246822507  # 0x85EBCA6B (murmur3 finalizer constant)
+
+
+def domain_mix(
+    docs: DataFrame,
+    fractions: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain mixing: keep a per-group hash fraction of docs.
+
+    ``fractions`` maps group value -> keep threshold as an EXACT integer
+    out of 2^32 (e.g. ``SPLIT_MOD // 2`` keeps ~half); groups absent from
+    the map are dropped. This is the reproducible, shuffle-free form of
+    the up/down-sampling step that sets a training mixture's domain
+    weights: a map-only hash filter — re-runs, engine changes, and
+    repartitions keep exactly the same documents, which ``sample()`` /
+    TABLESAMPLE cannot promise. At 100 TB this runs at scan speed and
+    composes with any downstream stage.
+    """
+    h = (F.col(id_col) * MIX_MULT) % SPLIT_MOD
+    keep = F.lit(False)
+    for g, cut in fractions.items():
+        keep = keep | ((F.col(group_col) == g) & (h < cut))
+    return docs.filter(keep)
+
+
+def pack_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy per-group selection under a token budget: rank docs by
+    quality (desc, id asc — a total order), take while the running token
+    total stays within ``budget_tokens``.
+
+    The data-selection step of corpus assembly ("give me the best N
+    tokens per domain") as one window: cumulative sum over the ranked
+    order, filter cumsum <= budget. One shuffle keyed on the group; the
+    window's running state is a single long. A doc that would cross the
+    budget is excluded (strict prefix semantics, exact on both engines —
+    quality and token counts are integer-derived).
+    Returns the kept rows plus (quality, n_tokens, cum_tokens).
+    """
+    q = quality_score(text_col).alias("quality")
+    t = token_count(text_col).alias("n_tokens")
+    ranked = docs.select("*", q, t)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("quality").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranked.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )

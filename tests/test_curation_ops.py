@@ -390,3 +390,65 @@ class TestReliableCheckpoint:
             p for (root, _, names) in os.walk(tmp_path / "ckpt") for p in names
         ]
         assert files, "reliable checkpoint wrote nothing"
+
+
+class TestDomainMixing:
+    def test_fractions_are_deterministic_and_proportional(self, spark):
+        from data_transform_make_spark.plans.training_corpus import (
+            SPLIT_MOD,
+            domain_mix,
+        )
+
+        rows = [(i, "en" if i % 2 == 0 else "de", "x") for i in range(2000)]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        fr = {"en": SPLIT_MOD, "de": SPLIT_MOD // 4}
+        kept1 = sorted(r["doc_id"] for r in domain_mix(docs, fr).collect())
+        kept2 = sorted(
+            r["doc_id"]
+            for r in domain_mix(docs.repartition(13), fr).collect()
+        )
+        assert kept1 == kept2  # identical under repartition (hash, not sample)
+        n_en = sum(1 for i in kept1 if i % 2 == 0)
+        n_de = len(kept1) - n_en
+        assert n_en == 1000  # threshold 2^32 keeps everything
+        assert 150 < n_de < 350  # ~25% of 1000, hash-uniform
+
+    def test_unlisted_group_dropped(self, spark):
+        from data_transform_make_spark.plans.training_corpus import (
+            SPLIT_MOD,
+            domain_mix,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "en", "x"), (2, "zz", "y")], "doc_id long, lang string, text string"
+        )
+        kept = domain_mix(docs, {"en": SPLIT_MOD})
+        assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+class TestTokenBudgetPacking:
+    def test_strict_prefix_within_budget(self, spark):
+        from data_transform_make_spark.plans.training_corpus import pack_token_budget
+
+        # Equal quality -> ranked by doc_id; each doc = 4 tokens; budget 10
+        # fits exactly 2 docs, the third would cross and must be excluded.
+        text = "alpha beta gamma delta"  # 4 word tokens
+        docs = spark.createDataFrame(
+            [(i, "en", text) for i in range(1, 6)],
+            "doc_id long, lang string, text string",
+        )
+        out = pack_token_budget(docs, 10)
+        got = sorted((r["doc_id"], r["cum_tokens"]) for r in out.collect())
+        assert got == [(1, 4), (2, 8)]
+
+    def test_budget_is_per_group(self, spark):
+        from data_transform_make_spark.plans.training_corpus import pack_token_budget
+
+        text = "alpha beta gamma delta"
+        docs = spark.createDataFrame(
+            [(1, "en", text), (2, "en", text), (3, "de", text)],
+            "doc_id long, lang string, text string",
+        )
+        out = pack_token_budget(docs, 4)
+        got = {(r["lang"], r["doc_id"]) for r in out.collect()}
+        assert got == {("en", 1), ("de", 3)}  # one doc per lang fits

@@ -87,3 +87,63 @@ class TestKeywordTopK:
         got = {(r["doc_id"], r["rnk"]): r["term"] for r in rows}
         assert got[(1, 1)] == "aa" and got[(1, 2)] == "bb"
         assert got[(2, 1)] == "cc" and got[(2, 2)] == "dd"
+
+
+class TestTokenShingleProperties:
+    """Property tests: the Column-expression tokenizer/shingler against a
+    straightforward Python reference (the §5 strategy: semantics pinned by
+    an independent reimplementation, not by the code under test)."""
+
+    @staticmethod
+    def _py_tokens(text):
+        # tokens() is SQL-idiomatic null-in-null-out (NULL, not []) —
+        # downstream explodes drop it; shingles() adds the explicit guard
+        if text is None:
+            return None
+        t = text.strip().lower()
+        if not t:
+            return []
+        import re
+
+        return re.split(r"\s+", t)
+
+    @staticmethod
+    def _py_shingles(text, n=3):
+        toks = TestTokenShingleProperties._py_tokens(text)
+        if not toks:  # None and [] both shingle to []
+            return []
+        if len(toks) < n:
+            return [" ".join(toks)]
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    def test_against_python_reference(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from data_transform_make_spark.functions.text import shingles, tokens
+
+        # ascii words + whitespace runs; avoids the Unicode-whitespace
+        # classes where Python's str.strip and Java's trim diverge (that
+        # JS-compat surface has its own dedicated tests)
+        word = st.text(
+            alphabet="abcXYZ019.,!", min_size=1, max_size=6
+        )
+        texts = st.lists(word, max_size=8).map(" ".join) | st.just(None) | st.just("   ")
+
+        @settings(max_examples=25, deadline=None)
+        @given(st.lists(texts, min_size=1, max_size=10))
+        def check(batch):
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(batch)], "i long, t string"
+            )
+            rows = df.select(
+                "i",
+                tokens("t").alias("tok"),
+                shingles("t", 3).alias("sh"),
+            ).collect()
+            for r in rows:
+                t = batch[r["i"]]
+                assert r["tok"] == self._py_tokens(t), repr(t)
+                assert r["sh"] == self._py_shingles(t), repr(t)
+
+        check()
