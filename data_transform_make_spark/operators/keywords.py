@@ -11,13 +11,13 @@ ratio of two integers is exact IEEE on both (the corpus header's
 "integer-derived double division only" rule). The ranking is totally
 ordered (score desc, term asc) so row picks can never diverge.
 
-Scale shape (100 TB): one explode + groupBy(doc, term) shuffle for tf
-(map-side combined), one groupBy(term) over that (already partitioned by
-a superset key — AQE reuses locality where it can) for df, one equi-join
-keyed on the term (vocabulary-sized right side — zipfian vocabularies
-are small relative to the corpus, AQE broadcasts from measured size),
-and one per-doc window for the top-k. Nothing driver-side, nothing
-quadratic; the k cap bounds output to k rows per document.
+Scale shape (100 TB): ONE corpus scan — explode + groupBy(doc, term)
+shuffle for tf (map-side combined), then df as a count over a
+term-partitioned WINDOW on the tf table (one shuffle keyed on the term)
+instead of a separate aggregate + self-join, which would re-derive the
+whole tf subtree including a second scan (audited: the join shape showed
+scans=2); finally one per-doc window for the top-k. Nothing driver-side,
+nothing quadratic; the k cap bounds output to k rows per document.
 """
 
 from __future__ import annotations
@@ -40,13 +40,14 @@ def tfidf_topk_terms(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("__tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("__df"))
-    scored = tf.join(df, "term").select(
+    w_term = Window.partitionBy("term")
+    scored = tf.select(
         F.col(id_col),
         F.col("term"),
-        (F.col("__tf").cast("double") / F.col("__df").cast("double")).alias(
-            "score"
-        ),
+        (
+            F.col("__tf").cast("double")
+            / F.count("*").over(w_term).cast("double")
+        ).alias("score"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
     return (
