@@ -289,6 +289,45 @@ class TestCappedCandidateInjection:
         assert got == {(1, 2): 3, (1, 3): 0}
 
 
+    def test_minhash_lsh_pairs_injection_runs_end_to_end(self, spark, sf_dir):
+        # The TRUE 100 TB wiring: MinHash-LSH candidates (the scalable
+        # generator, persisted as a parquet pair table in production)
+        # feeding the cluster-exact pipeline via pairs=. LSH estimates are
+        # approximate (neither subset nor superset of exact Jaccard), so
+        # this asserts the composed path's invariants rather than
+        # equality: stats well-formed, kept counts never exceed the
+        # no-dedup counts, and the pipeline is deterministic.
+        from data_transform_make_spark.operators.dedup import minhash_lsh_pairs
+        from data_transform_make_spark.plans.training_corpus import (
+            _quality_exact,
+            build_training_corpus_clustered,
+        )
+        from data_transform_make_spark.sources.loader import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        exact = _quality_exact(docs, 0.66)
+        lsh_pairs = minhash_lsh_pairs(
+            exact, "doc_id", "text", num_hashes=32, bands=8, threshold=0.2
+        ).select("id_a", "id_b")
+        run1 = sorted(
+            map(tuple, build_training_corpus_clustered(docs, pairs=lsh_pairs).collect())
+        )
+        run2 = sorted(
+            map(tuple, build_training_corpus_clustered(docs, pairs=lsh_pairs).collect())
+        )
+        assert run1 == run2  # deterministic under re-run
+        no_dedup = {
+            (r["split"], r["lang"]): r["n_docs"]
+            for r in build_training_corpus_clustered(
+                docs, pairs=spark.createDataFrame([], "id_a long, id_b long")
+            ).collect()
+        }
+        for (split, lang, n_docs, _n_tokens) in run1:
+            assert n_docs <= no_dedup[(split, lang)]
+
+
+
+
 class TestNullTextShingles:
     def test_null_text_yields_empty_shingle_array(self, spark):
         # size(NULL)=-1 used to skip the ==0 guard: concat_ws over a NULL
