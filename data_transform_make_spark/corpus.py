@@ -743,9 +743,10 @@ def ta5_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     max/sum agg; the fraction is integer-derived double division, exact
     on both engines. Map-scale at 100 TB: output is one row per doc."""
     from .functions.text import shingles
+    from .operators.dedup import _spread
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh = _spread(docs, "doc_id").select(
         F.col("doc_id"), F.explode(shingles(F.col("text"), 2)).alias("__sh")
     )
     counts = sh.groupBy("doc_id", "__sh").agg(F.count("*").alias("__c"))

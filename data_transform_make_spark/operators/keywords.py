@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from .dedup import _spread
 
 
 def tfidf_topk_terms(
@@ -36,7 +37,7 @@ def tfidf_topk_terms(
     Returns (id_col, term, score, rnk) with rnk in 1..k; ties broken by
     term ascending (total order — cross-engine stable).
     """
-    tok = docs.select(
+    tok = _spread(docs, id_col).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("__tf"))
