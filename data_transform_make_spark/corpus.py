@@ -1028,6 +1028,75 @@ def d3_minhash_lsh(spark: SparkSession, sf_dir: str, eager: bool = True) -> Data
     )
 
 
+def _duck_minhash_md5_sql(
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.2
+) -> str:
+    """Generate the DuckDB twin of the md5-family MinHash-LSH pipeline —
+    mechanically: num_hashes MIN-aggregates for the signature, one
+    UNION ALL leg per band, and the position-agreement sum for the
+    estimated Jaccard. Mirrors operators/dedup.py minhash_lsh_pairs
+    (hash_family='md5') expression by expression."""
+    rpb = num_hashes // bands
+    h_aggs = ",\n        ".join(
+        f"MIN(CAST(concat('0x', substring(md5('mh{i}|' || sh), 1, 15)) "
+        f"AS BIGINT)) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {i} AS band_idx, md5(concat_ws(',', "
+        + ", ".join(f"CAST(h{i * rpb + j} AS VARCHAR)" for j in range(rpb))
+        + ")) AS band_hash FROM sig"
+        for i in range(bands)
+    )
+    agree = " + ".join(
+        f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(num_hashes)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, u.sh
+      FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
+                         FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+    ), sig AS (
+      SELECT doc_id,
+        {h_aggs}
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+      {band_rows}
+    ), cand AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y
+        ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(({agree}) AS DOUBLE) / {float(num_hashes)} AS est_jaccard
+    FROM cand c JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b
+    WHERE CAST(({agree}) AS DOUBLE) / {float(num_hashes)} >= {threshold}
+    """
+
+
+@_register("d3b_minhash_lsh_md5", _duck_minhash_md5_sql())
+def d3b_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE MinHash-LSH banding pipeline, hash-checked end-to-end:
+    identical algorithm to d3 (signatures -> band hashes -> candidate
+    join -> agreement re-score) with the hash family swapped from
+    xxhash64 (absent in DuckDB -> d3 is rows-only) to an md5-derived
+    60-bit family both engines compute byte-identically. The oracle
+    regenerates every expression mechanically, so the banding JOIN
+    itself — not just its inputs — is under the value-hash gate. d3
+    stays the production default (xxhash64 is ~2× faster per shingle);
+    this entry certifies the shared code path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.2,
+        hash_family="md5",
+    )
+
+
 @_register("d4_simhash")  # no SQL twin: xxhash64 not in DuckDB
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only driver check)."""
@@ -2769,9 +2838,9 @@ _DRIVER_WINDOW = [
     "st6_stream_ingest_routing",
     "mix1_domain_mixing",
     "pack1_token_budget",
+    "d3b_minhash_lsh_md5",
     # representative fill (certified r1-r4; re-certified this round)
     "w2_topk_per_group",
-    "d1_exact_dedup",
     "d2b_ngram_jaccard_capped",
     "j2_as_of_join",
     "j3_range_join",

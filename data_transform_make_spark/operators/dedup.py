@@ -71,8 +71,29 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _minhash_cols(shingle: Column, num_hashes: int) -> list[Column]:
-    # Seeded hash family: xxhash64 over (seed-tag || shingle). JVM-side.
+def _minhash_cols(
+    shingle: Column, num_hashes: int, hash_family: str = "xxhash64"
+) -> list[Column]:
+    # Seeded hash family over (seed-tag || shingle), JVM-side either way:
+    #   * "xxhash64" (default): fastest, codegen'd — but DuckDB has no
+    #     xxhash64, so pipelines built on it get rows-only driver checks;
+    #   * "md5": first 15 hex chars (60 bits) parsed base-16 — ~2× slower
+    #     per shingle, but byte-identical in DuckDB
+    #     (CAST('0x'||substring(md5(x),1,15) AS BIGINT)), which lets the
+    #     ENTIRE LSH banding pipeline be oracle-checked (d3b).
+    if hash_family == "md5":
+        return [
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"mh{i}|"), shingle)), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    if hash_family != "xxhash64":
+        raise ValueError(f"unknown hash_family: {hash_family}")
     return [
         F.xxhash64(F.concat(F.lit(f"mh{i}|"), shingle)).alias(f"h{i}")
         for i in range(num_hashes)
@@ -80,7 +101,12 @@ def _minhash_cols(shingle: Column, num_hashes: int) -> list[Column]:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signature as ``array<long>`` of length num_hashes.
 
@@ -99,7 +125,9 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("__sh"),
     )
-    hashed = sh.select(id_col, *_minhash_cols(F.col("__sh"), num_hashes))
+    hashed = sh.select(
+        id_col, *_minhash_cols(F.col("__sh"), num_hashes, hash_family)
+    )
     return hashed.groupBy(id_col).agg(
         F.array(*[F.min(f"h{i}") for i in range(num_hashes)]).alias("minhash")
     )
@@ -146,8 +174,14 @@ def minhash_lsh_pairs(
     max_bucket_df: int | None = None,
     signatures: DataFrame | None = None,
     eager: bool = True,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding over MinHash signatures.
+
+    ``hash_family`` selects the seeded hash (see :func:`_minhash_cols`):
+    "xxhash64" (default, fastest) or "md5" (DuckDB-twinnable — band
+    hashes become md5 hex strings so the whole pipeline is
+    oracle-checkable, corpus d3b).
 
     signature → ``bands`` band-hashes → explode → self-join on
     (band index, band hash) → distinct pairs → estimated Jaccard = fraction
@@ -190,21 +224,31 @@ def minhash_lsh_pairs(
     if signatures is not None:
         sig = signatures
     elif eager:
-        sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+        sig = minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_n, hash_family
+        ).persist()
     else:
         # eager=False: fully-lazy plan for inspection/composition — no
         # persist, no checkpoint; the signature subtree is re-derived per
         # consumer (4×), so use only for .explain or when the caller
         # materializes through its own signatures= table.
-        sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(",", *[F.element_at("minhash", i * rows_per_band + j + 1).cast("string") for j in range(rows_per_band)])
-            )
-            for i in range(bands)
-        ]
-    )
+        sig = minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_n, hash_family
+        )
+
+    def _band_hash(i: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at("minhash", i * rows_per_band + j + 1).cast("string")
+                for j in range(rows_per_band)
+            ],
+        )
+        # md5 family keeps the band key cross-engine too (hex string);
+        # the band join works identically on string keys
+        return F.md5(joined) if hash_family == "md5" else F.xxhash64(joined)
+
+    band_arr = F.array(*[_band_hash(i) for i in range(bands)])
     banded = sig.select(
         F.col(id_col).alias("__id"),
         F.posexplode(band_arr).alias("band_idx", "band_hash"),
