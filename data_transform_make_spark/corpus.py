@@ -1097,6 +1097,73 @@ def d3b_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_simhash_md5_sql(n_bits: int = 60, max_hamming: int = 8) -> str:
+    """DuckDB twin of the md5-family SimHash pipeline, generated
+    mechanically: 60-bit token hash, per-bit +1/-1 sums, sign-vector
+    pack, 4×15-bit chunk blocking, bit_count(xor) Hamming re-check.
+    Mirrors operators/dedup.py simhash64 / simhash_near_dup_pairs
+    (hash_family='md5') expression by expression."""
+    chunk_bits = n_bits // 4
+    mask = (1 << chunk_bits) - 1
+    bit_sums = ",\n        ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(n_bits)
+    )
+    pack = "\n        + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    chunk_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {i} AS chunk_idx, (simhash >> {i * chunk_bits}) & {mask} AS chunk FROM sig"
+        for i in range(4)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(u.tk), 1, 15)) AS BIGINT) AS h
+      FROM toks, UNNEST(t) AS u(tk)
+    ), sums AS (
+      SELECT doc_id,
+        {bit_sums}
+      FROM tok GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id,
+        {pack} AS simhash
+      FROM sums
+    ), blocked AS (
+      {chunk_rows}
+    ), cand AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM blocked x JOIN blocked y
+        ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk
+       AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM cand c JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@_register("d4b_simhash_md5", _duck_simhash_md5_sql())
+def d4b_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE SimHash near-dup pipeline hash-checked end-to-end (the
+    d3b pattern applied to d4): same algorithm — per-bit sign sums,
+    pack, 4-chunk pigeonhole blocking, Hamming re-check — with the hash
+    family swapped to the 60-bit md5-derived one both engines compute
+    byte-identically. d4 stays the production default (64-bit xxhash64);
+    this entry certifies the shared code path against a mechanically
+    generated DuckDB twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=8, hash_family="md5"
+    )
+
+
 @_register("d4_simhash")  # no SQL twin: xxhash64 not in DuckDB
 def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only driver check)."""
@@ -2839,10 +2906,10 @@ _DRIVER_WINDOW = [
     "mix1_domain_mixing",
     "pack1_token_budget",
     "d3b_minhash_lsh_md5",
+    "d4b_simhash_md5",
     # representative fill (certified r1-r4; re-certified this round)
     "w2_topk_per_group",
     "d2b_ngram_jaccard_capped",
-    "j2_as_of_join",
     "j3_range_join",
 ]
 

@@ -286,31 +286,48 @@ def minhash_lsh_pairs(
     return out
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document over whitespace tokens.
+def simhash64(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per document over whitespace tokens — 64-bit with the
+    default xxhash64 family, 60-bit with ``hash_family="md5"`` (the
+    DuckDB-twinnable family of :func:`_minhash_cols`; d4b uses it to put
+    the whole simhash path under the oracle's value-hash gate).
 
-    Classic construction: hash each token to 64 bits; for each bit position
-    sum +1/-1 across tokens; the sign vector is the fingerprint. Entirely
-    JVM-side: ``_spread`` on the doc id → explode → 64 conditional-sum
-    aggregates (map-side combined; the shuffle moves ~|docs| rows) →
+    Classic construction: hash each token; for each bit position sum
+    +1/-1 across tokens; the sign vector is the fingerprint. Entirely
+    JVM-side: ``_spread`` on the doc id → explode → per-bit conditional-
+    sum aggregates (map-side combined; the shuffle moves ~|docs| rows) →
     bit-pack. Returns (id_col, simhash: long).
     """
+    n_bits = _SIMHASH_BITS[hash_family]
     tok = _spread(df, id_col).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
     )
-    h = F.xxhash64(F.col("__t"))
+    if hash_family == "md5":
+        h = F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("__t"))
     bit_sums = [
         F.sum(
             F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     sums = tok.groupBy(id_col).agg(*bit_sums)
     packed = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         packed = bit if packed is None else packed.bitwiseOR(bit)
     return sums.select(F.col(id_col), packed.alias("simhash"))
+
+
+# fingerprint width per hash family: xxhash64 gives 64 usable bits; the
+# md5 family parses 15 hex chars -> 60 bits (a signed-long-safe width)
+_SIMHASH_BITS = {"xxhash64": 64, "md5": 60}
 
 
 def simhash_near_dup_pairs(
@@ -319,10 +336,12 @@ def simhash_near_dup_pairs(
     text_col: str,
     max_hamming: int = 8,
     max_bucket_df: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
-    Blocking: split the 64-bit fingerprint into 4 16-bit chunks — any pair
+    Blocking: split the fingerprint into 4 equal chunks (16 bits with the
+    64-bit xxhash64 family, 15 with the 60-bit md5 family) — any pair
     within Hamming distance <= 3 shares at least one exact chunk (pigeonhole);
     for larger radii this is a recall-bounded heuristic that keeps the join
     keyed instead of all-pairs.
@@ -335,10 +354,14 @@ def simhash_near_dup_pairs(
     arrays there is nothing to save by re-attaching). Returns
     (id_a, id_b, hamming).
     """
-    sig = simhash64(df, id_col, text_col)
+    sig = simhash64(df, id_col, text_col, hash_family)
+    chunk_bits = _SIMHASH_BITS[hash_family] // 4
+    chunk_mask = (1 << chunk_bits) - 1
     chunks = F.array(
         *[
-            F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF).cast("long"))
+            F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(
+                F.lit(chunk_mask).cast("long")
+            )
             for i in range(4)
         ]
     )
