@@ -88,7 +88,10 @@ def run_pass(sf_dir: str) -> None:
             qs[name](spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
-    print(json.dumps({"queries": timings, "queries_cold": cold}))
+    # unique sentinel prefix: the parent matches on it instead of "any line
+    # starting with '{'" — a stray JVM/log4j '{...}' line printed around
+    # spark.stop() can no longer be mistaken for the result JSON
+    print("BENCH_PASS_RESULT:" + json.dumps({"queries": timings, "queries_cold": cold}))
     spark.stop()
 
 
@@ -109,11 +112,13 @@ def main() -> None:
             text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        lines = [
+            l for l in out.stdout.splitlines() if l.startswith("BENCH_PASS_RESULT:")
+        ]
         if out.returncode != 0 or not lines:
             sys.stderr.write(out.stderr[-4000:])
             raise SystemExit(f"bench pass failed (rc={out.returncode})")
-        passes.append(json.loads(lines[-1]))
+        passes.append(json.loads(lines[-1][len("BENCH_PASS_RESULT:"):]))
 
     timings = {
         n: min(p["queries"][n] for p in passes) for n in HEADLINE

@@ -65,10 +65,23 @@ def connected_components(
     of one distributed write per round. Checkpoint files are not deleted
     by default — set ``spark.cleaner.referenceTracking.cleanCheckpoints``
     or point ``checkpoint_dir`` at a TTL'd/job-scoped path.
+
+    .. warning:: passing ``checkpoint_dir`` calls
+       ``sparkContext.setCheckpointDir`` — SESSION-GLOBAL state. It is only
+       set when it differs from the current value, but two concurrent
+       callers passing different dirs still retarget each other's reliable
+       checkpoints; namespace per-job paths under one shared root instead.
     """
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = spark.sparkContext
+        # idempotence guard: setCheckpointDir mints a fresh UUID subdir per
+        # call, so the raw argument (not sc.getCheckpointDir, which returns
+        # the UUID'd path) is remembered to avoid churning directories on
+        # repeated calls with the same root
+        if getattr(sc, "_dtm_checkpoint_root", None) != checkpoint_dir:
+            sc.setCheckpointDir(checkpoint_dir)
+            sc._dtm_checkpoint_root = checkpoint_dir
 
     def _cut(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
@@ -98,7 +111,7 @@ def connected_components(
     )
     labels = _cut(labels)
 
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         # 1. neighbor-min: min label over each vertex's neighborhood.
         nbr_min = (
             edges.join(labels, edges["v"] == labels["id"])
@@ -125,10 +138,19 @@ def connected_components(
             "id", "__old", F.coalesce("__jump", "label").alias("label")
         )
         jumped = _cut(jumped)
-        changed = jumped.filter(F.col("label") < F.col("__old")).count()
         labels = jumped.drop("__old")
-        if changed == 0:
-            break
+        # Convergence check on even rounds only (and on the last): the
+        # fixpoint is stable, so overshooting by one cheap round beats
+        # paying a count job per round. Round 0 keeps its check — dense
+        # near-dup components (the common case, helped by the seeded init)
+        # converge there and must not pay an extra round; long chains skip
+        # every other count. Checking a single round's delta is
+        # sufficient: one full round with zero label decreases IS the
+        # fixpoint.
+        if rnd % 2 == 0 or rnd == max_iter - 1:
+            changed = jumped.filter(F.col("label") < F.col("__old")).count()
+            if changed == 0:
+                break
 
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -32,15 +32,22 @@ def _query_vec_col(query_vec: list[float]):
 
 
 def brute_force_topk(
-    df: DataFrame, vec_col: str, query_vec: list[float], k: int = 10
+    df: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k rows by cosine similarity to a literal query vector.
 
     Adds a ``cosine`` column; returns the k most similar rows, most similar
     first. TakeOrderedAndProject keeps this one pass + driver-side k-merge.
+    ``id_col`` is the deterministic tie-break for equal cosines (defaults
+    to the frame's first column — pass it explicitly when that is not the
+    row id).
     """
     scored = df.withColumn("cosine", cosine_similarity(F.col(vec_col), _query_vec_col(query_vec)))
-    return scored.orderBy(F.col("cosine").desc(), F.col(df.columns[0])).limit(k)
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col or df.columns[0])).limit(k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -76,9 +83,11 @@ def lsh_bucket_topk(
     n_planes: int = 8,
     seed: int = 42,
     multiprobe_hamming: int = 1,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose hyperplane bucket is
     within ``multiprobe_hamming`` bits of the query's bucket.
+    ``id_col``: deterministic tie-break column (default: first column).
 
     At scale, persist the corpus partitioned by bucket (``repartition(
     "bucket").write.partitionBy("bucket")``) so a query prunes partitions at
@@ -96,7 +105,7 @@ def lsh_bucket_topk(
     probe = F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qbits).cast("long"))) <= multiprobe_hamming
     cand = bucketed.filter(probe)
     scored = cand.withColumn("cosine", cosine_similarity(F.col(vec_col), _query_vec_col(query_vec)))
-    return scored.orderBy(F.col("cosine").desc(), F.col(df.columns[0])).limit(k).drop("__bucket")
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col or df.columns[0])).limit(k).drop("__bucket")
 
 
 def train_ivf_centroids(
@@ -145,6 +154,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via an IVF probe.
 
@@ -153,6 +163,7 @@ def ivf_topk(
     nearest, score cosine only inside those posting lists. The probe filter
     is a plain ``isin`` predicate — on a corpus written
     ``partitionBy("ivf_cluster")`` it prunes partitions at the scan.
+    ``id_col``: deterministic tie-break column (default: first column).
     """
     if centroids is None:
         centroids = train_ivf_centroids(df, vec_col, n_clusters, seed)
@@ -166,4 +177,4 @@ def ivf_topk(
     scored = cand.withColumn(
         "cosine", cosine_similarity(F.col(vec_col), _query_vec_col(query_vec))
     )
-    return scored.orderBy(F.col("cosine").desc(), F.col(df.columns[0])).limit(k).drop("__cluster")
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col or df.columns[0])).limit(k).drop("__cluster")

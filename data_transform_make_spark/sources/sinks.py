@@ -67,6 +67,69 @@ def merge_upsert(
     return joined.select(*out_cols)
 
 
+def merge_upsert_path(
+    spark,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    insert_unmatched: bool = True,
+) -> str:
+    """MERGE a source frame into a STORED table at ``path`` — the thin
+    adapter over the two execution paths (returns which one ran):
+
+    * ``"delta"``: when the ``delta-spark`` package is importable AND the
+      path already is a Delta table, issue a real ``MERGE INTO`` through
+      ``DeltaTable.merge`` — ACID, file-level conflict detection,
+      exactly-once per ``foreachBatch`` when keyed idempotently. This is
+      the 100 TB production path (makeRouter.js:120-124/198-202's
+      read-modify-write PUTs, made transactional).
+    * ``"parquet"``: jar-less fallback (this container) — read the parquet
+      table, apply the :func:`merge_upsert` emulation (same WHEN MATCHED /
+      NOT MATCHED semantics, no ACID), write to a sibling tmp dir and
+      swap. The rename window is the caller's race to manage; that gap is
+      exactly what Delta's log removes.
+
+    Both paths produce identical table contents for the same inputs
+    (asserted by tests/test_sinks_skew.py, Delta leg gated on
+    importability).
+    """
+    if update_cols is None:
+        update_cols = [c for c in source.columns if c not in keys]
+    try:
+        from delta.tables import DeltaTable  # type: ignore
+
+        have_delta = True
+    except ImportError:
+        have_delta = False
+
+    if have_delta and DeltaTable.isDeltaTable(spark, path):
+        t = DeltaTable.forPath(spark, path)
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        m = (
+            t.alias("t")
+            .merge(source.alias("s"), cond)
+            .whenMatchedUpdate(set={c: f"s.{c}" for c in update_cols})
+        )
+        if insert_unmatched:
+            m = m.whenNotMatchedInsert(
+                values={c: f"s.{c}" for c in source.columns}
+            )
+        m.execute()
+        return "delta"
+
+    import os
+    import shutil
+
+    target = spark.read.parquet(path)
+    merged = merge_upsert(target, source, keys, update_cols, insert_unmatched)
+    tmp = path.rstrip("/") + "__merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return "parquet"
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:

@@ -31,6 +31,49 @@ def test_merge_upsert_no_insert(spark):
     assert out == {"I1": 2}
 
 
+def _merge_path_fixture(spark, tmp_path, fmt):
+    from data_transform_make_spark.sources.sinks import merge_upsert_path
+
+    path = str(tmp_path / f"inv_{fmt}")
+    target = spark.createDataFrame(
+        [("I1", 10, "Tote"), ("I2", 5, "Duffel"), ("I3", 7, "Mini")],
+        "inventory_id string, stock int, bag_model string",
+    )
+    if fmt == "delta":
+        target.write.format("delta").save(path)
+    else:
+        target.write.parquet(path)
+    source = spark.createDataFrame(
+        [("I1", 8), ("I4", 99)], "inventory_id string, stock int"
+    )
+    ran = merge_upsert_path(spark, path, source, ["inventory_id"])
+    assert ran == fmt
+    out = {
+        r.inventory_id: (r.stock, r.bag_model)
+        for r in spark.read.format(fmt if fmt == "delta" else "parquet")
+        .load(path)
+        .collect()
+    }
+    # identical contents contract across both adapter paths
+    assert out == {
+        "I1": (8, "Tote"),
+        "I2": (5, "Duffel"),
+        "I3": (7, "Mini"),
+        "I4": (99, None),
+    }
+
+
+def test_merge_upsert_path_parquet_fallback(spark, tmp_path):
+    _merge_path_fixture(spark, tmp_path, "parquet")
+
+
+def test_merge_upsert_path_delta_when_available(spark, tmp_path):
+    import pytest
+
+    pytest.importorskip("delta")
+    _merge_path_fixture(spark, tmp_path, "delta")
+
+
 def test_salted_sum_equals_plain(spark, sf_dir):
     from data_transform_make_spark.sources.loader import load_table
 
