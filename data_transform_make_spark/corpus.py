@@ -720,8 +720,11 @@ def ta4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ta5_repetition",
     r"""
     WITH toks AS (
+      -- guard: Spark's tokens('') is [] (doc dropped by the explode) while
+      -- regexp_split_to_array('') is [''] (one empty 2-gram row) — blank or
+      -- NULL docs must not reach the UNNEST (mirrors tf1's oracle guard)
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-      FROM documents
+      FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
     ), sh AS (
       SELECT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 1], ' ')
@@ -855,7 +858,7 @@ def tf1_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH kept AS (
       SELECT * FROM documents
-      WHERE (doc_id * 2246822507) % 4294967296 <
+      WHERE ((doc_id % 4294967296) // 65536 * 2246822507 % 65536 * 65536 + (doc_id % 4294967296) % 65536 * 2246822507) % 4294967296 <
             CASE lang WHEN 'en' THEN 4294967296
                       WHEN 'de' THEN 2147483648
                       WHEN 'es' THEN 1073741824
@@ -913,9 +916,11 @@ def mix1_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
           AS BIGINT) AS n_tokens
       FROM documents
     ), packed AS (
-      SELECT *, SUM(n_tokens) OVER (
+      -- CAST: DuckDB's windowed SUM over BIGINT widens to HUGEINT (int128);
+      -- the driver's value-hash is width-sensitive (mirrors mix1's cast).
+      SELECT *, CAST(SUM(n_tokens) OVER (
         PARTITION BY lang ORDER BY quality DESC, doc_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
       FROM scored
     )
     SELECT doc_id, lang, n_tokens, cum_tokens
@@ -1357,9 +1362,76 @@ def n1_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("n2_lsh_topk")  # approximate: rows-only check; recall tested in tests/
+def _duck_lsh_topk_sql(
+    dim: int = 64, n_planes: int = 8, seed: int = 42, k: int = 10,
+    multiprobe_hamming: int = 2,
+) -> str:
+    """DuckDB twin of the LSH-bucketed top-k probe (the d5d construction
+    applied to n2): plane projections, bucket bit-packing, the Hamming
+    multiprobe filter, and the cosine ranking are regenerated from the
+    SAME seeded plane literals with every float chain written
+    LEFT-ASSOCIATIVE from CAST(0 AS DOUBLE) — Spark's ``aggregate`` fold
+    order term by term, so cosines (and therefore the LIMIT cutoff) are
+    bit-identical. The query vector is data-dependent (vec_id = 0), so
+    its bucket is computed IN SQL with the same bucket expression the
+    corpus rows get — matching the driver-side Python fold, which is the
+    same left-assoc sum over the same doubles."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def chain(terms: list[str]) -> str:
+        return "CAST(0 AS DOUBLE) + " + " + ".join(terms)
+
+    bucket_terms = []
+    for i, p in enumerate(planes):
+        proj = chain(
+            [f"CAST(embedding[{j + 1}] AS DOUBLE) * {p[j]!r}" for j in range(dim)]
+        )
+        bucket_terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << i} ELSE 0 END)")
+    bucket_expr = "\n        + ".join(bucket_terms)
+    dot_eq = chain(
+        [
+            f"CAST(e.embedding[{j + 1}] AS DOUBLE) * CAST(q.embedding[{j + 1}] AS DOUBLE)"
+            for j in range(dim)
+        ]
+    )
+    ne = chain(
+        [
+            f"CAST(e.embedding[{j + 1}] AS DOUBLE) * CAST(e.embedding[{j + 1}] AS DOUBLE)"
+            for j in range(dim)
+        ]
+    )
+    nq = chain(
+        [
+            f"CAST(q.embedding[{j + 1}] AS DOUBLE) * CAST(q.embedding[{j + 1}] AS DOUBLE)"
+            for j in range(dim)
+        ]
+    )
+    return f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT ({bucket_expr}) AS qbucket FROM q),
+    bucketed AS (
+      SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM embeddings
+    ),
+    cand AS (
+      SELECT b.vec_id, b.embedding FROM bucketed b, qb
+      WHERE bit_count(xor(CAST(b.bucket AS BIGINT), CAST(qb.qbucket AS BIGINT)))
+            <= {multiprobe_hamming}
+    )
+    SELECT e.vec_id FROM cand e, q
+    ORDER BY ({dot_eq}) / (sqrt({ne}) * sqrt({nq})) DESC, e.vec_id
+    LIMIT {k}
+    """
+
+
+@_register("n2_lsh_topk", _duck_lsh_topk_sql())
 def n2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (hyperplane signatures prune the scan)."""
+    """LSH-bucketed approximate top-10 (hyperplane signatures prune the
+    scan). Deterministic given the seed, hence oracle-checked end-to-end
+    since round 6 (previously rows-only): the SQL twin regenerates the
+    plane projections and the multiprobe Hamming filter and must produce
+    the same 10 ids."""
     emb = load_table(spark, sf_dir, "embeddings")
     query_vec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return lsh_bucket_topk(
@@ -1368,7 +1440,8 @@ def n2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
-@_register("n3_ivf_topk")  # approximate: rows-only check; recall tested in tests/
+@_register("n3_ivf_topk")  # KMeans-trained centroids: rows-only; the probe/
+# argmin/rank logic is oracle-certified via n3b's literal-centroid twin
 def n3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: KMeans posting lists, nprobe nearest probed;
     cluster assignment is a codegen'd argmin expression (scale path:
@@ -1379,6 +1452,105 @@ def n3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query_vec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return ivf_topk(
         emb, "embedding", [float(x) for x in query_vec], k=10, n_clusters=16, nprobe=4
+    ).select("vec_id")
+
+
+def _ivf_literals() -> tuple[list[list[float]], list[float]]:
+    """Deterministic centroids + query vector for the n3b oracle twin:
+    seeded unit vectors (a spherical-kmeans-like random init), generated
+    once in pure Python so both engines embed identical doubles."""
+    from .operators.similarity import _hyperplanes
+
+    return _hyperplanes(64, 16, seed=7), _hyperplanes(64, 1, seed=123)[0]
+
+
+def _duck_ivf_topk_sql(k: int = 10, nprobe: int = 4) -> str:
+    """DuckDB twin of the IVF probe with LITERAL centroids (the injection
+    parameter ``centroids=`` is the at-scale wiring — train once, probe
+    many): per-row argmin cluster assignment (row_number over (dist, idx),
+    the exact lexicographic order of Spark's array_min over (dist, idx)
+    structs), the Python-side nprobe centroid ranking embedded as an IN
+    list (both engines compute it identically at generation time), and
+    the cosine ranking — all float chains in Spark fold order."""
+    centroids, query = _ivf_literals()
+    dim = len(query)
+
+    def chain(terms: list[str]) -> str:
+        return "CAST(0 AS DOUBLE) + " + " + ".join(terms)
+
+    dvv = chain(
+        [
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * CAST(embedding[{j + 1}] AS DOUBLE)"
+            for j in range(dim)
+        ]
+    )
+    legs = []
+    for i, c in enumerate(centroids):
+        dvc = chain(
+            [f"CAST(embedding[{j + 1}] AS DOUBLE) * {c[j]!r}" for j in range(dim)]
+        )
+        c2 = sum(x * x for x in c)
+        # CAST the bare literal: DuckDB parses float literals as DECIMAL,
+        # and DECIMAL-only arithmetic overflows scale 38 (DOUBLE * DECIMAL
+        # is fine — the chains above rely on that, as d5d does)
+        legs.append(
+            f"SELECT vec_id, {i} AS idx, dvv - 2 * ({dvc})"
+            f" + CAST({c2!r} AS DOUBLE) AS dist FROM base"
+        )
+    dists = "\n      UNION ALL\n      ".join(legs)
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((a - b) * (a - b) for a, b in zip(query, centroids[i])),
+    )[:nprobe]
+    dot_q = chain(
+        [f"CAST(embedding[{j + 1}] AS DOUBLE) * {query[j]!r}" for j in range(dim)]
+    )
+    ne = chain(
+        [
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * CAST(embedding[{j + 1}] AS DOUBLE)"
+            for j in range(dim)
+        ]
+    )
+    nq = chain(
+        [
+            f"CAST({query[j]!r} AS DOUBLE) * CAST({query[j]!r} AS DOUBLE)"
+            for j in range(dim)
+        ]
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding, ({dvv}) AS dvv FROM embeddings
+    ), dists AS (
+      {dists}
+    ), assign AS (
+      SELECT vec_id, idx,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, idx) AS rn
+      FROM dists
+    ), clusters AS (
+      SELECT vec_id FROM assign WHERE rn = 1 AND idx IN ({", ".join(map(str, probe))})
+    )
+    SELECT e.vec_id FROM embeddings e JOIN clusters c ON e.vec_id = c.vec_id
+    ORDER BY ({dot_q}) / (sqrt({ne}) * sqrt({nq})) DESC, e.vec_id
+    LIMIT {k}
+    """
+
+
+@_register("n3b_ivf_topk_oracle", _duck_ivf_topk_sql())
+def n3b_ivf_topk_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF top-k path under the value-hash gate: identical ivf_topk
+    code to n3 but with injected literal centroids and a literal query
+    vector (the ``centroids=`` injection is also the at-scale wiring —
+    train once on a sample, probe many queries), so the per-row argmin
+    assignment, nprobe pruning, cosine ranking and LIMIT cutoff are all
+    deterministic and SQL-expressible. KMeans training itself stays under
+    n3's rows-only entry + recall tests."""
+    from .operators.similarity import ivf_topk
+
+    centroids, query = _ivf_literals()
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, "embedding", query, k=10, nprobe=4, centroids=centroids,
+        id_col="vec_id",
     ).select("vec_id")
 
 
@@ -1687,6 +1859,78 @@ def mm4_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return resize_images(text_to_media(docs), target=(32, 32)).drop("resized_bytes")
+
+
+# hex-pair -> byte value, in pure ANSI string ops (DuckDB's sha256() returns
+# lowercase hex; the stub kernels index raw digest BYTES)
+def _hexbyte(n: int) -> str:
+    return (
+        f"((strpos('0123456789abcdef', substr(hx, {2 * n + 1}, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(hx, {2 * n + 2}, 1)) - 1)"
+    )
+
+
+@_register(
+    "mm2b_media_decode_oracle",
+    f"""
+    WITH h AS (
+      SELECT doc_id AS media_id, 'image' AS media_type, sha256(text) AS hx
+      FROM documents
+    )
+    SELECT media_id, media_type,
+           CAST(64 + {_hexbyte(0)} % 192 AS INTEGER) AS width,
+           CAST(64 + {_hexbyte(1)} % 192 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels
+    FROM h
+    """,
+)
+def mm2b_media_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mm2 decode stage under the value-hash gate: the stub kernel is
+    sha256-derived byte arithmetic, which DuckDB can replay from the hex
+    digest — so the Arrow mapInPandas round-trip itself (batch iteration,
+    schema, int32 outputs) is oracle-certified, not just row-counted.
+    Identical code path to mm2 (multimodal/columns.py decode_images)."""
+    from .multimodal.columns import decode_images, text_to_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_images(text_to_media(docs))
+
+
+def _duck_mm4_sql(tw: int = 32, th: int = 32) -> str:
+    """DuckDB twin of the mm4 stub resize: output bytes are
+    digest[(i*7) % 32] for i in 0..tw*th-1 — with gcd(7,32)=1 that is 32
+    repetitions of one 32-byte permutation of the digest, assembled here
+    as hex pairs and compared as Spark's ``hex()`` (uppercase) string."""
+    pairs = "".join(
+        f"substr(hx, {((i * 7) % 32) * 2 + 1}, 2) || " for i in range(32)
+    ).rstrip(" |")
+    reps = (tw * th) // 32
+    return f"""
+    WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)
+    SELECT media_id,
+           CAST(64 + {_hexbyte(0)} % 192 AS INTEGER) AS width,
+           CAST(64 + {_hexbyte(1)} % 192 AS INTEGER) AS height,
+           CAST({tw} AS INTEGER) AS target_width,
+           CAST({th} AS INTEGER) AS target_height,
+           upper(repeat({pairs}, {reps})) AS resized_hex
+    FROM h
+    """
+
+
+@_register("mm4b_resize_oracle", _duck_mm4_sql())
+def mm4b_resize_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mm4 resize stage under the value-hash gate (same construction
+    as mm2b): the stub's byte-grid is a deterministic function of the
+    payload digest, replayed in SQL as hex pairs; comparing the full
+    hex-encoded 1024-byte grid certifies the binary column survives the
+    Arrow round-trip byte-for-byte. Identical code path to mm4."""
+    from .multimodal.columns import resize_images, text_to_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(text_to_media(docs), target=(32, 32)).select(
+        "media_id", "width", "height", "target_width", "target_height",
+        F.hex("resized_bytes").alias("resized_hex"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2253,7 +2497,7 @@ def h1_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "sp1_hash_split",
     """
-    SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973837
+    SELECT CASE WHEN ((doc_id % 4294967296) // 65536 * 2654435761 % 65536 * 65536 + (doc_id % 4294967296) % 65536 * 2654435761) % 4294967296 < 3435973837
                 THEN 'train' ELSE 'eval' END AS split,
            lang, count(*) AS n_docs
     FROM documents GROUP BY 1, 2
@@ -2410,7 +2654,7 @@ def sql1_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), kept AS (
       SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     )
-    SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973837
+    SELECT CASE WHEN ((doc_id % 4294967296) // 65536 * 2654435761 % 65536 * 65536 + (doc_id % 4294967296) % 65536 * 2654435761) % 4294967296 < 3435973837
                 THEN 'train' ELSE 'eval' END AS split,
            lang, count(*) AS n_docs,
            CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
@@ -2608,7 +2852,7 @@ def dc2_dedup_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
       SELECT doc_id,
-             CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973837
+             CASE WHEN ((doc_id % 4294967296) // 65536 * 2654435761 % 65536 * 65536 + (doc_id % 4294967296) % 65536 * 2654435761) % 4294967296 < 3435973837
                   THEN 'train' ELSE 'eval' END AS split,
              regexp_split_to_array(trim(lower(text)), '\s+') AS t
       FROM documents
@@ -2823,7 +3067,7 @@ def w8_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), kept AS (
       SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     )
-    SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973837
+    SELECT CASE WHEN ((doc_id % 4294967296) // 65536 * 2654435761 % 65536 * 65536 + (doc_id % 4294967296) % 65536 * 2654435761) % 4294967296 < 3435973837
                 THEN 'train' ELSE 'eval' END AS split,
            lang, count(*) AS n_docs,
            CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
@@ -2905,7 +3149,7 @@ def ll2_training_corpus_clustered(spark: SparkSession, sf_dir: str, eager: bool 
     ), kept AS (
       SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     )
-    SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973837
+    SELECT CASE WHEN ((doc_id % 4294967296) // 65536 * 2654435761 % 65536 * 65536 + (doc_id % 4294967296) % 65536 * 2654435761) % 4294967296 < 3435973837
                 THEN 'train' ELSE 'eval' END AS split,
            lang, count(*) AS n_docs,
            CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
@@ -2954,53 +3198,62 @@ _DRIVER_WINDOW = [
     "a1_a2_order_counter_deltas",
     "q1_pricing_summary",
     "st1_stream_window_agg",
-    # never driver-certified before round 5
+    # round 5's single red row, oracle typing fixed this round (CAST the
+    # windowed SUM to BIGINT — DuckDB widens to HUGEINT); values verified
+    # identical, the row must convert to green
+    "pack1_token_budget",
+    # round-6 additions / upgrades: n2 gained a full oracle (the d5d
+    # deterministic-twin construction on the top-k probe); n3b/mm2b/mm4b
+    # put the IVF probe and the stub media kernels under the hash gate
+    "n2_lsh_topk",
+    "n3b_ivf_topk_oracle",
+    "mm2b_media_decode_oracle",
+    "mm4b_resize_oracle",
+    # oracle/engine text changed this round (overflow-safe mulhash32
+    # decomposition, ta5 blank-doc guard, dec1 broadcast+memo, CC batched
+    # convergence): older green rows certified the OLD text, so these
+    # re-certify against the new one
+    "sp1_hash_split",
+    "mix1_domain_mixing",
+    "dec1_decontamination",
+    "ta5_repetition",
     "ll1_training_corpus",
     "ll2_training_corpus_clustered",
-    "dc1_dedup_clusters",
-    "dec1_decontamination",
-    "ch1_doc_chunks",
-    "d6_editdist_recheck",
-    "sk1_salted_join",
-    "w8_percent_rank",
-    "pu1_scalar_pandas_udf",
-    "ga1_pandas_grouped_agg",
-    "udtf1_lateral_tokenize",
-    "sql1_raw_sql",
-    "q4_order_priority",
-    "q6_filter_agg",
-    "h1_having",
-    "mo1_moment_aggs",
-    "pc1_percentiles",
-    "cd1_distinct_agg",
-    "w6_lag_lead",
-    "w7_ntile",
-    "x2_explode_sequence",
-    "mf1_map_explode",
-    "arr1_array_hofs",
-    "sp1_hash_split",
-    "agg1_ordered_collect",
-    "apx1_sketch_aggs",
-    # pushed out of the r4 window by mid-file insertions (certified r1-r3)
-    "j4_semi_anti_join",
-    "g3_grouping_sets",
-    "up1_unpivot",
-    "cs1_correlated_subquery",
-    # round-5 additions (new entries start life inside the window)
     "ll3_training_corpus_capped",
+    "dc1_dedup_clusters",
     "dc2_dedup_clusters_capped",
-    "ta5_repetition",
-    "pii1_redaction",
-    "tf1_keyword_topk",
-    "st6_stream_ingest_routing",
-    "mix1_domain_mixing",
-    "pack1_token_budget",
-    "d3b_minhash_lsh_md5",
-    "d4b_simhash_md5",
-    "d5d_embedding_lsh_oracle",
-    # representative fill (certified r1-r4; re-certified this round)
-    "w2_topk_per_group",
-    "d2b_ngram_jaccard_capped",
+    # certified r1-r3 only — oldest rows first back into the window
+    # (round-4 advice: no oracle-checkable query should go >2 rounds
+    # without a fresh row)
+    "t7_js_parse_int",
+    "t5_falsy_defaults",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "a3_insufficient_stock",
+    "a4_a6_status_transitions",
+    "a5_counter_pivot",
+    "x1_json_extract",
+    "w1_running_total",
+    "w3_sessionize",
+    "s1_set_ops",
+    "g1_rollup",
+    "j2_as_of_join",
+    "j3_range_join",
+    "d1_exact_dedup",
+    "ta1_text_stats",
+    "ta2_lang_id",
+    "ta3_quality_score",
+    "ta4_doc_fingerprint",
+    "d2_ngram_jaccard",
+    "n1_topk_cosine",
+    "dt1_date_buckets",
+    "w5_global_topk",
+    "st2_stream_dedup",
+    "st3_stream_stateful_counters",
+    "st4_stream_stream_join",
+    "st5_stream_session_window",
+    "mm1_media_metadata",
+    "mm3_frame_sample",
 ]
 
 

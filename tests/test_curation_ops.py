@@ -373,6 +373,12 @@ class TestCacheHygiene:
     register in the CacheManager.)"""
 
     def _cache_empty(self, spark):
+        # drain the decontamination memo first: it legitimately holds one
+        # bounded slot across calls (tested below) and earlier tests in the
+        # session may have populated it
+        from data_transform_make_spark.plans import training_corpus as tc
+
+        tc.release_decontamination_cache()
         return spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
     def test_minhash_lsh_pairs_releases_signature_cache(self, spark):
@@ -386,16 +392,37 @@ class TestCacheHygiene:
         out.count()
         assert self._cache_empty(spark)
 
-    def test_decontamination_report_releases_cache(self, spark):
-        from data_transform_make_spark.plans.training_corpus import (
-            decontamination_report,
-        )
+    def test_decontamination_report_bounded_memo(self, spark):
+        """decontamination_report keeps a ONE-SLOT memo of the shingled
+        projection: same-corpus re-runs reuse it (bounded, not a leak),
+        a different corpus evicts the previous slot, and the explicit
+        release API empties the cache entirely."""
+        from data_transform_make_spark.plans import training_corpus as tc
 
-        docs = spark.createDataFrame(
+        docs_a = spark.createDataFrame(
             [(i, "the quick brown fox jumps again") for i in range(1, 20)],
             "doc_id long, text string",
         )
-        decontamination_report(docs).count()
+        docs_b = spark.createDataFrame(
+            [(i, "a completely different corpus of words") for i in range(1, 20)],
+            "doc_id long, text string",
+        )
+        tc.release_decontamination_cache()
+        assert self._cache_empty(spark)
+        r1 = tc.decontamination_report(docs_a).count()
+        assert len(tc._DECON_MEMO) == 2  # (report, projection) pair
+        memo_report = tc._DECON_MEMO[0]
+        # same corpus again: the CACHED REPORT ITSELF is returned
+        assert tc.decontamination_report(docs_a) is memo_report
+        r2 = tc.decontamination_report(docs_a).count()
+        assert r1 == r2
+        # different corpus: previous pair evicted, exactly one pair remains
+        tc.decontamination_report(docs_b).count()
+        assert len(tc._DECON_MEMO) == 2
+        assert tc._DECON_MEMO[0] is not memo_report
+        assert not memo_report.is_cached
+        # explicit release empties the CacheManager
+        tc.release_decontamination_cache()
         assert self._cache_empty(spark)
 
     def test_training_corpus_builders_release_cache(self, spark, sf_dir):
@@ -463,6 +490,36 @@ class TestDomainMixing:
         )
         kept = domain_mix(docs, {"en": SPLIT_MOD})
         assert [r["doc_id"] for r in kept.collect()] == [1]
+
+    def test_mulhash32_no_overflow_matches_bigint_math(self, spark):
+        """mulhash32 must equal Python's arbitrary-precision
+        (id * mult) %% 2^32 even for ids past 2^32 / past the signed-64
+        product overflow point — the naive column expression goes negative
+        there (and DuckDB raises), the multi-billion-doc hazard from the
+        round-5 advice."""
+        from pyspark.sql import functions as F
+
+        from data_transform_make_spark.plans.training_corpus import (
+            MIX_MULT,
+            SPLIT_MOD,
+            SPLIT_MULT,
+            mulhash32,
+        )
+
+        ids = [
+            0, 1, 2, 65535, 65536, 2**31 - 1, 2**31, 2**32 - 1, 2**32,
+            2**32 + 7, 4_100_000_000, 10**12, 2**53, 2**62,
+        ]
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        for mult in (SPLIT_MULT, MIX_MULT):
+            got = {
+                r["doc_id"]: r["h"]
+                for r in df.select(
+                    "doc_id", mulhash32("doc_id", mult).alias("h")
+                ).collect()
+            }
+            for i in ids:
+                assert got[i] == (i * mult) % SPLIT_MOD, (i, mult, got[i])
 
 
 class TestTokenBudgetPacking:
