@@ -94,6 +94,19 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Empty-graph early-out: a well-curated (or capped) corpus routinely
+    # yields ZERO near-dup pairs — without the guard that still costs a
+    # full label-init + one round + convergence count (~0.5 s of pure job
+    # scheduling). isEmpty() reads one partition of the just-persisted
+    # edge frame; the empty result frame keeps the output schema.
+    if edges.isEmpty():
+        out_schema = edges.select(
+            F.col("u").alias("id"), F.col("u").alias("cluster_id")
+        ).schema
+        edges.unpersist()
+        # a LOCAL empty frame, not limit(0) over the edge lineage — the
+        # latter would re-run pair generation for every consumer
+        return pairs.sparkSession.createDataFrame([], out_schema)
     # Seeded init: label(u) = min(u, min neighbor) — the neighbor-min half
     # of round 1 folded into the vertex-set construction. Costs the same
     # single shuffle as the old distinct-vertices + identity init (groupBy

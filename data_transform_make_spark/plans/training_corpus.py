@@ -196,8 +196,15 @@ def _quality_exact(docs: DataFrame, quality_min: float) -> DataFrame:
     dedup. Returned LAZY and uncached — the builders persist it for the
     duration of their pipeline and release it before returning (the
     deduped corpus feeds two consumers there; a leaked session-long cache
-    of a near-full corpus is the worst-case CacheManager accumulation)."""
-    quality = docs.filter(quality_score("text") >= quality_min)
+    of a near-full corpus is the worst-case CacheManager accumulation).
+
+    ``_spread`` first (round 6): the quality gate is three regex-heavy
+    expressions per doc, and a single-file corpus scan otherwise pins all
+    of them to ONE task — the same pathology measured on dec1/pack1 in
+    round 5; on a cluster it balances text-length skew. The fingerprint
+    window right after shuffles on the fingerprint anyway, so the extra
+    exchange replaces (and pre-balances) work, not adds to it."""
+    quality = _spread(docs, "doc_id").filter(quality_score("text") >= quality_min)
 
     w = Window.partitionBy(doc_fingerprint("text")).orderBy("doc_id")
     return (

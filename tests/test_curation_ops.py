@@ -79,6 +79,22 @@ class TestConnectedComponents:
 
 
 class TestClusteredCuration:
+    def test_empty_pair_graph_short_circuits(self, spark):
+        """Zero near-dup pairs (the routine well-curated-corpus case) must
+        produce an empty cluster frame with the input's id type preserved
+        — for long AND string ids — without running any label rounds."""
+        from data_transform_make_spark.operators.graph import connected_components
+
+        for schema, id_type in (
+            ("id_a long, id_b long", "bigint"),
+            ("id_a string, id_b string", "string"),
+        ):
+            pairs = spark.createDataFrame([], schema)
+            cc = connected_components(pairs)
+            assert cc.count() == 0
+            assert [f.name for f in cc.schema.fields] == ["id", "cluster_id"]
+            assert all(f.dataType.simpleString() == id_type for f in cc.schema.fields)
+
     def test_cluster_policy_merges_unpaired_chain(self, spark):
         # B~C and A~C are near-dups but A~B is not: the greedy per-pair
         # policy (drop id_b of each pair) drops only C, keeping both A
