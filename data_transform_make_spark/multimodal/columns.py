@@ -13,9 +13,13 @@ Design (the part that matters at 100 TB):
     tasks stay memory-bounded.
 
 The actual image/audio decode libraries are NOT in this container, so the
-decode kernel is a clearly-marked deterministic STUB (sha-seeded fake
-pixels); the Spark-side plumbing — schema, batch iteration, UDF signatures,
-partitioning — is real and tested.
+DEFAULT decode kernel is a clearly-marked deterministic STUB (sha-seeded
+fake pixels — also what the mm2b/mm4b SQL twins certify); the Spark-side
+plumbing — schema, batch iteration, UDF signatures, partitioning — is real
+and tested. Where Pillow IS installed, ``kernel='pil'``/``'auto'`` runs
+real decodes/resizes through the identical mapInPandas plumbing (the
+import-gated-adapter pattern, same as sinks.merge_upsert_path; tests for
+the real leg are importorskip-gated).
 """
 
 from __future__ import annotations
@@ -79,32 +83,74 @@ def attach_media_metadata(media: DataFrame) -> DataFrame:
 
 _DECODE_SCHEMA = "media_id long, media_type string, width int, height int, n_channels int"
 
+# Real-kernel availability probe (the merge_upsert_path pattern: use the
+# real library when importable, the documented deterministic stub
+# otherwise). Pillow is absent from this container; the adapter keeps the
+# call shape identical so a cluster with Pillow installed runs real
+# decodes with zero code change. ffmpeg (video) has no Python-only
+# fallback — frame sampling stays a byte-slicing stub either way.
+try:  # pragma: no cover - exercised only where Pillow is installed
+    from PIL import Image as _PILImage
+
+    _HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAVE_PIL = False
+
 
 def _stub_decode(payload: bytes | None) -> tuple[int, int, int]:
     """STUB decode — deterministic fake dimensions derived from content.
-
-    Real implementation requires Pillow/ffmpeg (absent in this container):
-      raise NotImplementedError("install pillow/ffmpeg for real decode")
-    The fake keeps the pipeline testable end-to-end and deterministic.
-    """
+    Keeps the pipeline testable end-to-end (and SQL-twinnable: mm2b) in
+    environments without Pillow."""
     if payload is None:
         return (0, 0, 0)
     h = hashlib.sha256(payload).digest()
     return (64 + h[0] % 192, 64 + h[1] % 192, 3)
 
 
-def decode_images(media: DataFrame) -> DataFrame:
+def _pil_decode(payload: bytes | None) -> tuple[int, int, int]:
+    """REAL decode via Pillow: actual width/height/bands; undecodable or
+    missing payloads degrade to (0, 0, 0) — the dead-letter convention,
+    filterable downstream without killing the batch."""
+    if payload is None:
+        return (0, 0, 0)
+    import io
+
+    try:
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return (im.width, im.height, len(im.getbands()))
+    except Exception:
+        return (0, 0, 0)
+
+
+def _pick_kernel(kernel: str):
+    """Resolve a decode kernel name: 'stub' (deterministic, default for
+    the oracle-checked corpus entries), 'pil' (require Pillow), 'auto'
+    (Pillow when importable, stub otherwise)."""
+    if kernel == "pil" and not _HAVE_PIL:
+        raise ImportError("kernel='pil' requires Pillow")
+    if kernel == "stub" or (kernel == "auto" and not _HAVE_PIL):
+        return _stub_decode
+    if kernel in ("pil", "auto"):
+        return _pil_decode
+    raise ValueError(f"unknown kernel {kernel!r}")
+
+
+def decode_images(media: DataFrame, kernel: str = "stub") -> DataFrame:
     """Decode stage: Arrow-batched ``mapInPandas``; one batch in, one out.
 
     At scale this is the canonical Python-boundary shape: the binary column
     crosses to the worker once per batch (Arrow), the kernel is pure
     per-row CPU, output is a narrow typed frame (blobs dropped as early as
     possible so downstream stages shuffle metadata, not pixels).
+    ``kernel``: 'stub' (default — deterministic, what mm2/mm2b certify),
+    'pil' or 'auto' for real Pillow decodes where installed.
     """
+    decode = _pick_kernel(kernel)
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kfn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["payload"].map(_stub_decode)
+            dims = pdf["payload"].map(decode)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -115,7 +161,7 @@ def decode_images(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(kernel, schema=_DECODE_SCHEMA)
+    return media.mapInPandas(kfn, schema=_DECODE_SCHEMA)
 
 
 _FEATURE_SCHEMA = "media_id long, feature array<float>"
@@ -146,17 +192,22 @@ _RESIZE_SCHEMA = (
 )
 
 
-def resize_images(media: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame:
-    """Resize stage (STUB kernel, real plumbing): the real kernel is
-    Pillow's ``Image.resize`` per payload; the stub emits a deterministic
-    byte-grid of the target size seeded by the content digest. Arrow-batched
+def resize_images(
+    media: DataFrame, target: tuple[int, int] = (32, 32), kernel: str = "stub"
+) -> DataFrame:
+    """Resize stage: ``kernel='stub'`` (default — deterministic byte-grid
+    seeded by the content digest, what mm4/mm4b certify) or ``'pil'`` /
+    ``'auto'`` for a real ``Image.resize`` re-encoded as PNG where Pillow
+    is installed (undecodable payloads degrade to b''). Arrow-batched
     ``mapInPandas``; output carries both source and target dims so
     downstream filters (e.g. drop tiny sources) stay in-plan."""
     tw, th = target
+    decode = _pick_kernel(kernel)
+    use_pil = decode is _pil_decode
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kfn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["payload"].map(_stub_decode)
+            dims = pdf["payload"].map(decode)
 
             def fake_resize(p: bytes | None) -> bytes:
                 if p is None:
@@ -164,6 +215,20 @@ def resize_images(media: DataFrame, target: tuple[int, int] = (32, 32)) -> DataF
                 h = hashlib.sha256(p).digest()
                 return bytes((h[(i * 7) % 32]) for i in range(tw * th))[: tw * th]
 
+            def pil_resize(p: bytes | None) -> bytes:
+                if p is None:
+                    return b""
+                import io
+
+                try:
+                    with _PILImage.open(io.BytesIO(p)) as im:
+                        out = io.BytesIO()
+                        im.resize((tw, th)).save(out, format="PNG")
+                        return out.getvalue()
+                except Exception:
+                    return b""
+
+            resize = pil_resize if use_pil else fake_resize
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -171,11 +236,11 @@ def resize_images(media: DataFrame, target: tuple[int, int] = (32, 32)) -> DataF
                     "height": dims.map(lambda d: d[1]).astype("int32"),
                     "target_width": pd.array([tw] * len(pdf), dtype="int32"),
                     "target_height": pd.array([th] * len(pdf), dtype="int32"),
-                    "resized_bytes": pdf["payload"].map(fake_resize),
+                    "resized_bytes": pdf["payload"].map(resize),
                 }
             )
 
-    return media.mapInPandas(kernel, schema=_RESIZE_SCHEMA)
+    return media.mapInPandas(kfn, schema=_RESIZE_SCHEMA)
 
 
 _FRAME_SCHEMA = "media_id long, frame_no int, frame_bytes binary"

@@ -426,24 +426,18 @@ def ngram_jaccard_pairs(
     before the cap either way, so |A|/|B| stay exact.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    # per-doc set size rides ALONG with every exploded shingle row as an
-    # (id, n) struct — round 6: the previous separate `sizes` projection
-    # re-ran the tokenize+shingle regexes over the whole corpus a second
-    # time AND paid two id-keyed joins to re-attach |A|/|B| at the end;
-    # carrying 8 bytes/row through the existing shuffles deletes both the
-    # second scan pass and both joins at every scale (measured 2.8 -> 2.3 s
-    # steady at sf0.1 from a persisted corpus; the deleted joins matter
-    # more at real scale than in this scheduling-overhead-bound fixture).
     spread = _spread(df, id_col)
-    base = spread.select(
+    sh = spread.select(
         F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__arr"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("__sh"),
     )
-    sh = base.select(
-        F.struct(
-            F.col("__id").alias("id"), F.size("__arr").alias("n")
-        ).alias("__doc"),
-        F.explode("__arr").alias("__sh"),
+    # per-doc set size is a map-only expression over the un-exploded array —
+    # no groupBy shuffle and no second pass over the exploded shingle table
+    # (it used to be sh.groupBy(__id).count(): one extra shuffle keyed on the
+    # doc id plus a full recompute of the explode subtree, at every scale)
+    sizes = spread.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("__n"),
     )
     pair_src = sh
     if max_df is not None:
@@ -454,12 +448,9 @@ def ngram_jaccard_pairs(
             .select("__sh")
         )
         pair_src = sh.join(hot, "__sh", "left_anti")
-    # sort_array over (id, n) structs orders lexicographically — by id
-    # first, and (id -> n) is functional, so posting-list order is exactly
-    # the old sorted-id order
     postings = (
         pair_src.groupBy("__sh")
-        .agg(F.sort_array(F.collect_list("__doc")).alias("__ids"))
+        .agg(F.sort_array(F.collect_list("__id")).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
     # ordered pairs per posting list via chained generators: posexplode
@@ -469,26 +460,23 @@ def ngram_jaccard_pairs(
     # the previous nested transform/slice HOF build was CodegenFallback
     # (interpreted) — measured 10% slower steady-state at sf0.1 and the
     # prime suspect in an 18 s cold-run outlier (see SCALE.md 'Dedup').
-    e1 = postings.select("__ids", F.posexplode("__ids").alias("__ia", "__a"))
+    e1 = postings.select("__ids", F.posexplode("__ids").alias("__ia", "id_a"))
     pairs = e1.select(
-        F.col("__a.id").alias("id_a"),
-        F.col("__a.n").alias("__na"),
+        "id_a",
         F.explode(
             F.slice(F.col("__ids"), F.col("__ia") + F.lit(2), F.size("__ids"))
-        ).alias("__b"),
-    ).select(
-        "id_a", "__na", F.col("__b.id").alias("id_b"), F.col("__b.n").alias("__nb")
+        ).alias("id_b"),
     )
-    # sizes sit in the grouping key: same group cardinality (n is
-    # functionally determined by the id), zero extra shuffled groups
-    inter = pairs.groupBy("id_a", "__na", "id_b", "__nb").agg(
-        F.count("*").alias("__inter")
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("__inter"))
+    joined = (
+        inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
     )
     jac = F.col("__inter").cast("double") / (
         F.col("__na") + F.col("__nb") - F.col("__inter")
     ).cast("double")
     return (
-        inter.withColumn("jaccard", jac)
+        joined.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
