@@ -854,6 +854,74 @@ def tf1_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tc1_line_cleaning",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+        regexp_replace(text, '((\S+ ){4}\S+) ', '\1' || chr(10), 'g')
+        || CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || 'subscribe to our newsletter'
+                  || chr(10) || 'subscribe to our newsletter'
+                  || chr(10) || 'ok'
+                ELSE '' END AS t
+      FROM documents
+    ), arr AS (
+      SELECT doc_id, string_split(t, chr(10)) AS lines FROM aug
+    ), k AS (
+      SELECT doc_id, lines,
+             list_filter(lines, l -> len(trim(l)) > 0
+               AND len(regexp_split_to_array(trim(l), '\s+')) >= 3) AS kept
+      FROM arr
+    ), d AS (
+      SELECT doc_id, lines,
+             list_filter(kept, (x, i) -> list_position(kept, x) = i) AS dedup
+      FROM k
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS INTEGER) AS n_lines,
+           CAST(len(dedup) AS INTEGER) AS n_kept,
+           md5(array_to_string(dedup, chr(10))) AS clean_md5
+    FROM d
+    """,
+)
+def tc1_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style line-level boilerplate cleaning
+    (functions/text.py clean_lines): drop short/blank lines, drop
+    repeated lines keeping the FIRST occurrence in reading order — the
+    granularity between whole-doc dedup (d1) and chunking (ch1). The
+    fixture text is single-line, so lines are planted deterministically
+    (a newline every 5 words; every 3rd doc gets a duplicated
+    boilerplate line plus a too-short line — the i1/pii1 synthesis
+    pattern, so the driver row shows both rules actually firing). Pure
+    Column expressions — map-only, scan-speed at 100 TB; the md5 of the
+    reassembled text puts the exact kept-line content under the hash
+    gate, first-occurrence order included."""
+    from .functions.text import clean_lines, split_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"((\S+ ){4}\S+) ", "$1\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(
+                    "\nsubscribe to our newsletter"
+                    "\nsubscribe to our newsletter\nok"
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    deduped = clean_lines(F.col("t"), min_words=3)
+    return aug.select(
+        "doc_id",
+        F.size(split_lines(F.col("t"))).alias("n_lines"),
+        F.size(deduped).alias("n_kept"),
+        F.md5(F.array_join(deduped, "\n")).alias("clean_md5"),
+    )
+
+
+@_register(
     "mix1_domain_mixing",
     """
     WITH kept AS (
@@ -943,6 +1011,71 @@ def pack1_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return pack_token_budget(docs, 3000).select(
         "doc_id", "lang", "n_tokens", "cum_tokens"
+    )
+
+
+@_register(
+    "sd1_substring_dup_report",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+        text || CASE WHEN doc_id % 5 = 0
+          THEN ' the quick brown fox jumps over the lazy dog again and again'
+          ELSE '' END AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(t)), '\s+') AS tk
+      FROM aug WHERE t IS NOT NULL AND len(trim(t)) > 0
+    ), spans AS (
+      SELECT doc_id, g.i AS pos, array_to_string(tk[g.i : g.i + 7], ' ') AS span
+      FROM toks, UNNEST(generate_series(1, len(tk) - 7)) AS g(i)
+      WHERE len(tk) >= 8
+    ), ranked AS (
+      SELECT doc_id, span,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_frac
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def sd1_substring_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span report (operators/dedup.py
+    duplicated_span_report): stride-1 8-token windows ranked globally
+    with a total (span, doc_id, pos) order — any duplicated run of >= 8
+    tokens contains a duplicated window, the distributable restatement of
+    the published suffix-array exact-substring dedup. The fixture's
+    random text has almost no cross-doc 8-gram collisions, so every 5th
+    doc plants one shared boilerplate sentence (the i1/pii1/tc1
+    synthesis pattern) — the driver row shows both the detection (dup
+    fractions > 0 on planted docs) and the clean negatives."""
+    from .operators.dedup import duplicated_span_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(
+                    " the quick brown fox jumps over the lazy dog"
+                    " again and again"
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    rep = duplicated_span_report(aug, "doc_id", "t", window=8)
+    return rep.select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        "dup_frac",
     )
 
 
@@ -3242,8 +3375,11 @@ _DRIVER_WINDOW = [
     "d1_exact_dedup",
     "ta1_text_stats",
     "ta2_lang_id",
-    "ta3_quality_score",
-    "ta4_doc_fingerprint",
+    # (ta3/ta4 rotated out to make room for the new tc1/sd1 — ta3's
+    # quality expression is exercised by the in-window ll1/ll2/ll3/pack1
+    # rows, ta4's fingerprint by the ll* exact-dedup stages)
+    "tc1_line_cleaning",
+    "sd1_substring_dup_report",
     "d2_ngram_jaccard",
     "n1_topk_cosine",
     "dt1_date_buckets",

@@ -151,3 +151,34 @@ def redact_pii(col: Column | str) -> Column:
     c = _c(col)
     c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(c, PHONE_RE, "<PHONE>")
+
+
+def split_lines(col: Column | str) -> Column:
+    """Text -> array of lines (plain '\\n' split, same as DuckDB's
+    non-regex string_split)."""
+    return F.split(_c(col), "\n")
+
+
+def clean_lines(col: Column | str, min_words: int = 3) -> Column:
+    """C4/RefinedWeb-style line-level boilerplate cleaning, as one pure
+    Column expression (map-only, scan-speed at any scale):
+
+      1. drop blank lines and lines with fewer than ``min_words`` words
+         (navigation crumbs, "ok", cookie-bar fragments);
+      2. drop repeated lines within the document, keeping the FIRST
+         occurrence in reading order (boilerplate headers/footers repeat;
+         ``array_position(kept, x) == i+1`` is the first-occurrence test —
+         deliberately NOT array_distinct, whose dedup-order guarantee is
+         engine-specific).
+
+    Returns the kept-line ARRAY (callers ``array_join`` for text,
+    ``size`` for counts). Line-level (not doc-level) dedup is the missing
+    granularity between ch1's chunking and d1's whole-doc dedup — the
+    published C4 recipe's "three-sentence span" rule family."""
+    c = _c(col)
+    lines = split_lines(c)
+    is_keepable = lambda l: (F.length(F.trim(l)) > 0) & (  # noqa: E731
+        F.size(F.split(F.trim(l), r"\s+")) >= min_words
+    )
+    kept = F.filter(lines, is_keepable)
+    return F.filter(kept, lambda x, i: F.array_position(kept, x) == i + 1)

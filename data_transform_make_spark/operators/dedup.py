@@ -631,3 +631,66 @@ def embedding_near_dup_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def duplicated_span_report(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Exact duplicated-SPAN report — the detection half of exact-substring
+    deduplication (the public "Deduplicating Training Data Makes Language
+    Models Better" recipe, re-expressed set-oriented: that work builds a
+    suffix array, which does not distribute; fixed-length token windows at
+    stride 1 find every duplicated run of >= ``window`` tokens, because any
+    such run contains a duplicated window).
+
+    Per document: slide a ``window``-token span at stride 1 (map-only
+    array expressions — the ch1 chunking machinery), then rank every span
+    occurrence globally with a total order (span, doc id, position) — one
+    shuffle keyed on the span text; occurrences ranked > 1 are duplicated
+    content. Returns ``(id_col, n_spans, n_dup_spans, dup_frac)`` for docs
+    with >= ``window`` tokens; ``dup_frac`` is the fraction a downstream
+    gate filters/trims on (the report, not a rewrite — span-level text
+    surgery needs the positions, which this frame carries implicitly).
+
+    Scale: the only shuffle is keyed on the span TEXT here (exact, and
+    SQL-twinnable for the oracle); at 100 TB key on ``xxhash64(span)``
+    instead — 8-byte shuffle keys, identical report modulo 2^-64
+    collisions. A celebrity span (boilerplate repeated in millions of
+    docs) concentrates one reducer: AQE skew-split handles the partition;
+    the C(d,2)-style blowup of pair approaches cannot occur at all —
+    output is one row per occurrence, never per pair.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # sequence(a, b) DECREASES when a > b — guard short docs to an empty
+    # span list instead of a backwards sequence
+    starts = F.when(
+        n >= window, F.sequence(F.lit(1), n - window + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i, window))
+    )
+    occ = _spread(docs, id_col).select(
+        F.col(id_col), F.posexplode(spans).alias("__pos", "__span")
+    )
+    w = Window.partitionBy("__span").orderBy(F.col(id_col), F.col("__pos"))
+    ranked = occ.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .select(
+            F.col(id_col),
+            "n_spans",
+            "n_dup_spans",
+            (
+                F.col("n_dup_spans").cast("double")
+                / F.col("n_spans").cast("double")
+            ).alias("dup_frac"),
+        )
+    )

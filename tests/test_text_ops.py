@@ -147,3 +147,52 @@ class TestTokenShingleProperties:
                 assert r["sh"] == self._py_shingles(t), repr(t)
 
         check()
+
+
+def test_clean_lines_rules_and_first_occurrence_order(spark):
+    """Line cleaning: short/blank lines dropped, repeated lines keep the
+    FIRST occurrence in reading order, single-line docs pass through."""
+    from pyspark.sql import functions as F
+
+    from data_transform_make_spark.functions.text import clean_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep this line\nok\n\nkeep this line\nanother good line"),
+            (2, "ok\nno\n  "),                    # nothing survives
+            (3, "one single good line"),          # passthrough
+            (4, "b b b\na a a\nb b b\na a a"),    # order: first b, first a
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.clean
+        for r in docs.select(
+            "doc_id", F.array_join(clean_lines("text"), "|").alias("clean")
+        ).collect()
+    }
+    assert out[1] == "keep this line|another good line"
+    assert out[2] == ""
+    assert out[3] == "one single good line"
+    assert out[4] == "b b b|a a a"
+
+
+def test_duplicated_span_report_counts(spark):
+    """Global stride-1 window ranking: a verbatim copy's spans are all
+    duplicated, the first occurrence is free, short docs are excluded,
+    distinct docs report zero."""
+    from data_transform_make_spark.operators.dedup import duplicated_span_report
+
+    base = "x y z w a b c d e f"  # 10 tokens -> 3 spans at window=8
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "p q r s t u v w1 w2 w3"), (4, "too short")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_frac)
+        for r in duplicated_span_report(docs, "doc_id", "text", window=8).collect()
+    }
+    assert out[1] == (3, 0, 0.0)    # first occurrence wins
+    assert out[2] == (3, 3, 1.0)    # verbatim copy: every span duplicated
+    assert out[3] == (3, 0, 0.0)    # distinct content
+    assert 4 not in out             # < window tokens: no spans, excluded
