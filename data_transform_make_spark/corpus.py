@@ -69,6 +69,20 @@ def _dec_sum(col, scale: int = 2):
     return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
 
 
+def _duck_mulhash32(col: str, mult: int) -> str:
+    """DuckDB mirror of plans.training_corpus.mulhash32 — the 16/16
+    decomposition of ``(col * mult) mod 2^32`` that never overflows a
+    signed 64-bit intermediate. THE single source of the SQL form: oracle
+    strings embed @MULHASH_SPLIT@ / @MULHASH_MIX@ placeholders, expanded
+    from this helper at the bottom of the module, so the engine
+    expression and every SQL twin can only change together."""
+    a = f"({col} % 4294967296)"
+    return (
+        f"({a} // 65536 * {mult} % 65536 * 65536"
+        f" + {a} % 65536 * {mult}) % 4294967296"
+    )
+
+
 # ---------------------------------------------------------------------------
 # M1 relational core (SURVEY.md §2.2-2.5)
 # ---------------------------------------------------------------------------
@@ -926,7 +940,7 @@ def tc1_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH kept AS (
       SELECT * FROM documents
-      WHERE ((doc_id % 4294967296) // 65536 * 2246822507 % 65536 * 65536 + (doc_id % 4294967296) % 65536 * 2246822507) % 4294967296 <
+      WHERE @MULHASH_MIX@ <
             CASE lang WHEN 'en' THEN 4294967296
                       WHEN 'de' THEN 2147483648
                       WHEN 'es' THEN 1073741824
@@ -2010,10 +2024,16 @@ def _hexbyte(n: int) -> str:
       SELECT doc_id AS media_id, 'image' AS media_type, sha256(text) AS hx
       FROM documents
     )
+    -- NULL-text guard (mirrors ta5/sd1's): the stub kernel maps a NULL
+    -- payload to the (0,0,0) dead-letter triple, while sha256(NULL) would
+    -- leave width/height NULL with n_channels still 3
     SELECT media_id, media_type,
-           CAST(64 + {_hexbyte(0)} % 192 AS INTEGER) AS width,
-           CAST(64 + {_hexbyte(1)} % 192 AS INTEGER) AS height,
-           CAST(3 AS INTEGER) AS n_channels
+           CAST(CASE WHEN hx IS NULL THEN 0
+                ELSE 64 + {_hexbyte(0)} % 192 END AS INTEGER) AS width,
+           CAST(CASE WHEN hx IS NULL THEN 0
+                ELSE 64 + {_hexbyte(1)} % 192 END AS INTEGER) AS height,
+           CAST(CASE WHEN hx IS NULL THEN 0 ELSE 3 END AS INTEGER)
+             AS n_channels
     FROM h
     """,
 )
@@ -2040,12 +2060,16 @@ def _duck_mm4_sql(tw: int = 32, th: int = 32) -> str:
     reps = (tw * th) // 32
     return f"""
     WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)
+    -- NULL-text guard: the stub maps NULL payloads to (0, 0, b'') — see mm2b
     SELECT media_id,
-           CAST(64 + {_hexbyte(0)} % 192 AS INTEGER) AS width,
-           CAST(64 + {_hexbyte(1)} % 192 AS INTEGER) AS height,
+           CAST(CASE WHEN hx IS NULL THEN 0
+                ELSE 64 + {_hexbyte(0)} % 192 END AS INTEGER) AS width,
+           CAST(CASE WHEN hx IS NULL THEN 0
+                ELSE 64 + {_hexbyte(1)} % 192 END AS INTEGER) AS height,
            CAST({tw} AS INTEGER) AS target_width,
            CAST({th} AS INTEGER) AS target_height,
-           upper(repeat({pairs}, {reps})) AS resized_hex
+           CASE WHEN hx IS NULL THEN ''
+                ELSE upper(repeat({pairs}, {reps})) END AS resized_hex
     FROM h
     """
 
@@ -2630,7 +2654,7 @@ def h1_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "sp1_hash_split",
     """
-    SELECT CASE WHEN ((doc_id % 4294967296) // 65536 * 2654435761 % 65536 * 65536 + (doc_id % 4294967296) % 65536 * 2654435761) % 4294967296 < 3435973837
+    SELECT CASE WHEN @MULHASH_SPLIT@ < 3435973837
                 THEN 'train' ELSE 'eval' END AS split,
            lang, count(*) AS n_docs
     FROM documents GROUP BY 1, 2
@@ -2787,7 +2811,7 @@ def sql1_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), kept AS (
       SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     )
-    SELECT CASE WHEN ((doc_id % 4294967296) // 65536 * 2654435761 % 65536 * 65536 + (doc_id % 4294967296) % 65536 * 2654435761) % 4294967296 < 3435973837
+    SELECT CASE WHEN @MULHASH_SPLIT@ < 3435973837
                 THEN 'train' ELSE 'eval' END AS split,
            lang, count(*) AS n_docs,
            CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
@@ -2985,7 +3009,7 @@ def dc2_dedup_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
       SELECT doc_id,
-             CASE WHEN ((doc_id % 4294967296) // 65536 * 2654435761 % 65536 * 65536 + (doc_id % 4294967296) % 65536 * 2654435761) % 4294967296 < 3435973837
+             CASE WHEN @MULHASH_SPLIT@ < 3435973837
                   THEN 'train' ELSE 'eval' END AS split,
              regexp_split_to_array(trim(lower(text)), '\s+') AS t
       FROM documents
@@ -3200,7 +3224,7 @@ def w8_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), kept AS (
       SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     )
-    SELECT CASE WHEN ((doc_id % 4294967296) // 65536 * 2654435761 % 65536 * 65536 + (doc_id % 4294967296) % 65536 * 2654435761) % 4294967296 < 3435973837
+    SELECT CASE WHEN @MULHASH_SPLIT@ < 3435973837
                 THEN 'train' ELSE 'eval' END AS split,
            lang, count(*) AS n_docs,
            CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
@@ -3282,7 +3306,7 @@ def ll2_training_corpus_clustered(spark: SparkSession, sf_dir: str, eager: bool 
     ), kept AS (
       SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     )
-    SELECT CASE WHEN ((doc_id % 4294967296) // 65536 * 2654435761 % 65536 * 65536 + (doc_id % 4294967296) % 65536 * 2654435761) % 4294967296 < 3435973837
+    SELECT CASE WHEN @MULHASH_SPLIT@ < 3435973837
                 THEN 'train' ELSE 'eval' END AS split,
            lang, count(*) AS n_docs,
            CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
@@ -3405,3 +3429,16 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return _window_ordered(_ORACLES)
+
+
+# Expand the shared mulhash placeholders (see _duck_mulhash32): keeps the
+# overflow-safe decomposition in ONE place across the engine expression
+# and all six SQL twins.
+_MULHASH_SPLIT_SQL = _duck_mulhash32("doc_id", 2654435761)
+_MULHASH_MIX_SQL = _duck_mulhash32("doc_id", 2246822507)
+for _name in list(_ORACLES):
+    _ORACLES[_name] = (
+        _ORACLES[_name]
+        .replace("@MULHASH_SPLIT@", _MULHASH_SPLIT_SQL)
+        .replace("@MULHASH_MIX@", _MULHASH_MIX_SQL)
+    )

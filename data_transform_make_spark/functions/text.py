@@ -166,10 +166,16 @@ def clean_lines(col: Column | str, min_words: int = 3) -> Column:
       1. drop blank lines and lines with fewer than ``min_words`` words
          (navigation crumbs, "ok", cookie-bar fragments);
       2. drop repeated lines within the document, keeping the FIRST
-         occurrence in reading order (boilerplate headers/footers repeat;
-         ``array_position(kept, x) == i+1`` is the first-occurrence test —
-         deliberately NOT array_distinct, whose dedup-order guarantee is
-         engine-specific).
+         occurrence in reading order (boilerplate headers/footers repeat) —
+         a left fold whose accumulator appends a line only when not yet
+         present. Deliberately NOT array_distinct (its dedup-order
+         guarantee is engine-specific) and NOT a per-element
+         ``array_position(kept, x) == i+1`` probe (HOF subtrees are
+         interpreted without subexpression elimination, so referencing
+         ``kept`` inside the lambda re-splits and re-filters the whole
+         document once per line — quadratic in line count with a full
+         re-derivation constant; the fold's accumulator is real state,
+         touched once per step. Review round 6.)
 
     Returns the kept-line ARRAY (callers ``array_join`` for text,
     ``size`` for counts). Line-level (not doc-level) dedup is the missing
@@ -181,4 +187,10 @@ def clean_lines(col: Column | str, min_words: int = 3) -> Column:
         F.size(F.split(F.trim(l), r"\s+")) >= min_words
     )
     kept = F.filter(lines, is_keepable)
-    return F.filter(kept, lambda x, i: F.array_position(kept, x) == i + 1)
+    return F.aggregate(
+        kept,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )

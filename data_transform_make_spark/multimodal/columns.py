@@ -111,7 +111,15 @@ def _stub_decode(payload: bytes | None) -> tuple[int, int, int]:
 def _pil_decode(payload: bytes | None) -> tuple[int, int, int]:
     """REAL decode via Pillow: actual width/height/bands; undecodable or
     missing payloads degrade to (0, 0, 0) — the dead-letter convention,
-    filterable downstream without killing the batch."""
+    filterable downstream without killing the batch.
+
+    The Pillow-missing check re-runs HERE, executor-side: _pick_kernel's
+    check runs on the driver, and a mismatched deployment (Pillow on the
+    driver image, absent on executors) must fail the task loudly — the
+    blanket except below would otherwise silently dead-letter EVERY row
+    (review round 6)."""
+    if _PILImage is None:
+        raise ImportError("Pillow present on driver but missing on executor")
     if payload is None:
         return (0, 0, 0)
     import io
@@ -216,6 +224,11 @@ def resize_images(
                 return bytes((h[(i * 7) % 32]) for i in range(tw * th))[: tw * th]
 
             def pil_resize(p: bytes | None) -> bytes:
+                # executor-side Pillow check — same rationale as _pil_decode
+                if _PILImage is None:
+                    raise ImportError(
+                        "Pillow present on driver but missing on executor"
+                    )
                 if p is None:
                     return b""
                 import io

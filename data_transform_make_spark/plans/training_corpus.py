@@ -76,9 +76,18 @@ _DECON_MEMO: list[DataFrame] = []
 
 
 def release_decontamination_cache() -> None:
-    """Release the decontamination memo slot (e.g. at tenant switch)."""
+    """Release the decontamination memo slot (e.g. at tenant switch).
+
+    unpersist is best-effort: frames memoized under an already-stopped
+    SparkSession raise from the dead JVM handle — the slot must still
+    empty so the next call under a fresh session recomputes cleanly
+    (crash reproduced in review: stop session A, call under session B)."""
     while _DECON_MEMO:
-        _DECON_MEMO.pop().unpersist()
+        df = _DECON_MEMO.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 def _memo_lookup(out: DataFrame) -> DataFrame | None:
@@ -152,11 +161,15 @@ def decontamination_report(
             b.filter(F.col("__split") == "train")
             .select(F.col(id_col), F.explode("__shs").alias("__sh"))
         )
-        # explicit broadcast, not just AQE: the eval vocabulary is small BY
-        # CONSTRUCTION (a fixed benchmark suite at any corpus scale), and
-        # declaring it skips the train-side shuffle planning round-trip —
-        # measured 1.19 -> 0.86 s on the cold path at sf0.1
-        eval_sh = F.broadcast(
+        # NO broadcast hint, deliberately (review round 6): with the
+        # hash_split eval side this vocabulary is ~20% of the corpus'
+        # distinct shingles — a forced broadcast dies at the 8 GB cap /
+        # OOMs the driver exactly at the 100 TB design point. AQE
+        # converts the join to a broadcast at runtime from its MEASURED
+        # size, which is the safe version of the same optimization (and
+        # the production decontamination case — a fixed small benchmark
+        # suite as the eval side — still gets the broadcast from AQE).
+        eval_sh = (
             b.filter(F.col("__split") == "eval")
             .select(F.explode("__shs").alias("__sh"))
             .distinct()

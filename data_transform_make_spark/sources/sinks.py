@@ -118,16 +118,30 @@ def merge_upsert_path(
         m.execute()
         return "delta"
 
+    target = spark.read.parquet(path)
+    merged = merge_upsert(target, source, keys, update_cols, insert_unmatched)
+    _swap_parquet(merged, path, "__merge_tmp")
+    return "parquet"
+
+
+def _swap_parquet(df, path: str, tmp_suffix: str) -> None:
+    """Write ``df`` beside ``path`` then swap it in — the shared
+    read-modify-replace tail of merge_upsert_path and
+    compact_small_files. NOT atomic: plain parquet has no transaction
+    log, so the rmtree→rename window is the caller's race to manage
+    (Delta/Iceberg remove it). A failed write leaves no stranded tmp
+    dir and never touches the original."""
     import os
     import shutil
 
-    target = spark.read.parquet(path)
-    merged = merge_upsert(target, source, keys, update_cols, insert_unmatched)
-    tmp = path.rstrip("/") + "__merge_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+    tmp = path.rstrip("/") + tmp_suffix
+    try:
+        df.write.mode("overwrite").parquet(tmp)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shutil.rmtree(path)
     os.rename(tmp, path)
-    return "parquet"
 
 
 def write_partitioned(
@@ -247,14 +261,9 @@ def compact_small_files(
     )
     n = max(1, round(total / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compact_tmp"
-    df.repartition(n).write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap: parquet has no transaction log — on a cluster use
-    # Delta OPTIMIZE instead; locally the rename window is the caller's
-    import shutil
-
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    # swap semantics (and its non-atomicity caveat): see _swap_parquet —
+    # on a cluster use Delta OPTIMIZE instead
+    _swap_parquet(df.repartition(n), path, "__compact_tmp")
     return n
 
 
