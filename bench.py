@@ -61,6 +61,10 @@ HEADLINE = [
     # and its capped production variant
     "ll2_training_corpus_clustered",
     "ll3_training_corpus_capped",
+    # added in round 6 (same caveat): line-level cleaning and the
+    # duplicated-span report — both map-only/one-shuffle text-curation ops
+    "tc1_line_cleaning",
+    "sd1_substring_dup_report",
 ]
 
 RUNS_PER_PASS = 3
