@@ -1869,6 +1869,25 @@ def st4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "st7_stream_static_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.event_type,
+           CAST(round(e.value * 100) AS BIGINT) AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def st7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (round 6): the third streaming
+    join shape next to st4 (stream-stream, state-store) and st6
+    (foreachBatch MERGE) — zero streaming state, the dim re-broadcast per
+    micro-batch. availableNow append must equal the batch join (the
+    oracle)."""
+    from .streaming.pipelines import streaming_static_enrichment
+
+    return streaming_static_enrichment(spark, sf_dir)
+
+
+@_register(
     "st5_stream_session_window",
     """
     WITH g AS (
@@ -3392,7 +3411,9 @@ _DRIVER_WINDOW = [
     "x1_json_extract",
     "w1_running_total",
     "w3_sessionize",
-    "s1_set_ops",
+    # (s1 rotated out for the new st7 — set-op plans are unchanged since
+    # their r2 certification and exercised by the union legs of i1/st6)
+    "st7_stream_static_join",
     "g1_rollup",
     "j2_as_of_join",
     "j3_range_join",

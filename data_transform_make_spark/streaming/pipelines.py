@@ -352,3 +352,35 @@ def streaming_ingest_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return legs.join(mem, "leg", "left").select(
         "leg", F.coalesce("n", F.lit(0)).alias("n"), "k_sum"
     )
+
+
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (st7): per-record enrichment of the event stream
+    against a broadcast BATCH dimension — the third streaming join shape
+    next to stream-stream (st4, state-store-backed) and the foreachBatch
+    MERGE (st6, sink-side).
+
+    The static side is re-planned per micro-batch as an ordinary
+    broadcast hash join: NO streaming state at all — nothing to
+    watermark, nothing to age out, so this is the cheapest join a stream
+    can do and the default shape for dimension enrichment at 100 TB
+    (a dim refresh is a re-broadcast on the next micro-batch, not a
+    state rebuild). Append mode: an availableNow pass equals the batch
+    join, which is the oracle.
+    """
+    from ..sources.loader import load_table
+
+    ev = stream_events(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    out = ev.join(dim, "user_id").select(
+        "event_id",
+        "user_id",
+        F.col("c_mktsegment").alias("segment"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return _run_to_memory(out, "append")

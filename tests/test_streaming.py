@@ -274,3 +274,31 @@ def test_stream_ingest_routing_matches_batch(spark, sf_dir):
     assert got == want
     assert set(got) == {"parsed", "invalid_json", "payload_too_large"}
     assert got["payload_too_large"][0] == 0  # grid plants no oversize bodies
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """st7: availableNow stream-static broadcast enrichment must equal the
+    plain batch join (no streaming state involved)."""
+    from data_transform_make_spark.streaming.pipelines import (
+        streaming_static_enrichment,
+    )
+
+    got = {
+        (r.event_id, r.segment, r.value_cents)
+        for r in streaming_static_enrichment(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    want = {
+        (r.event_id, r.c_mktsegment, r.cents)
+        for r in ev.join(cust, "user_id")
+        .select(
+            "event_id",
+            "c_mktsegment",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0

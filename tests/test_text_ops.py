@@ -196,3 +196,38 @@ def test_duplicated_span_report_counts(spark):
     assert out[2] == (3, 3, 1.0)    # verbatim copy: every span duplicated
     assert out[3] == (3, 0, 0.0)    # distinct content
     assert 4 not in out             # < window tokens: no spans, excluded
+
+
+def test_clean_lines_matches_python_reference_property(spark):
+    """Hypothesis: clean_lines == a direct Python reference (filter
+    short/blank, first-occurrence dedup) on arbitrary small line soups."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from data_transform_make_spark.functions.text import clean_lines
+
+    words = st.sampled_from(["aa", "bb", "cc", "dd"])
+    line = st.lists(words, min_size=0, max_size=5).map(" ".join)
+    doc = st.lists(line, min_size=0, max_size=8).map("\n".join)
+
+    def ref(text, min_words=3):
+        out, seen = [], set()
+        for l in text.split("\n"):
+            t = l.strip()
+            if not t or len(t.split()) < min_words:
+                continue
+            if l not in seen:
+                seen.add(l)
+                out.append(l)
+        return out
+
+    @settings(max_examples=30, deadline=None)
+    @given(doc)
+    def check(text):
+        df = spark.createDataFrame([(text,)], "text string")
+        got = df.select(clean_lines("text").alias("c")).head()[0]
+        assert got == ref(text)
+
+    check()
