@@ -3358,13 +3358,20 @@ def ll3_training_corpus_capped(spark: SparkSession, sf_dir: str, eager: bool = T
 # (tools/driver_sim.py checks all entries every session). With 80+ entries
 # the window is rotated round-over-round so every query accumulates a
 # driver-certified CORRECTNESS row: rounds 1-4 certified the original first
-# 50 registration positions; round 5 fronts the 26 entries that had never
-# held a driver row (the round-3/4 additions — ll1/ll2, dc1, dec1, ch1, d6,
-# sk1, w8, the pandas/UDTF entries, and the §2.7 tail) plus the four that
-# r4's insertions pushed out (j4, g3, up1, cs1), anchored by a
+# 50 registration positions; round 5 fronted the 26 never-certified entries
+# plus the four r4 pushed out; round 6 fronts (a) pack1 (r5's one red row,
+# oracle typing fixed), (b) the round-6 additions/upgrades (n2 oracle,
+# n3b, mm2b, mm4b, tc1, sd1, st7), (c) the nine queries whose oracle or
+# engine text changed this round (mulhash decomposition, ta5 guard, dec1,
+# the CC family), and (d) the r1-r3-only backlog — anchored by a
 # representative core (p1, p4, i1, j1, a1_a2, q1, st1) kept in-window every
-# round as a cross-round regression tripwire. Keys and query bodies are
-# NEVER changed by rotation — only dict order.
+# round as a cross-round regression tripwire. Still out after r6 (for the
+# r7 rotation): the r5-certified block (ch1, d6, sk1, w8, pu1, ga1, udtf1,
+# sql1, q4/q6, h1, mo1, pc1, cd1, w6/w7, x2, mf1, arr1, agg1, j4, g3, up1,
+# cs1, d2b, d3b/d4b/d5d, pii1, tf1, st6, dc*, w2...) and the rows-only set
+# (d3/d4/d5b/d5c, n3, mm2/mm4, apx1) plus s1/ta3/ta4/u1/g2/w4/d5 (stale
+# r2 rows, expressions exercised by in-window pipelines). Keys and query
+# bodies are NEVER changed by rotation — only dict order.
 _DRIVER_WINDOW = [
     # core anchors (certified every round)
     "p1_status_gate",
