@@ -59,15 +59,19 @@ def first_wins_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact-duplicate removal: keep the smallest id per identical text.
 
-    Hash-groupBy on the text (one shuffle keyed by the text value; at scale
-    group by ``sha2(text, 256)`` instead to bound shuffle-key width — the
-    semantics are identical for exact dedup).
+    ``groupBy(sha2(text)).agg(min_by(struct(*), id))`` rather than a
+    row_number window (round 6): the aggregate PARTIALLY COMBINES
+    map-side, so duplicate rows collapse before the exchange — on a
+    duplicate-heavy 100 TB web corpus the shuffle moves ~|distinct|
+    rows, where the window form (no partial aggregation) shuffles every
+    input row and sorts each group. Winner identical (ids are unique, so
+    min_by is deterministic); sha2 bounds the shuffle-key width.
     """
-    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    cols = df.columns
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("__fp"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__r"))
+        .select("__r.*")
     )
 
 

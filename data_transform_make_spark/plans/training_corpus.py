@@ -215,15 +215,18 @@ def _quality_exact(docs: DataFrame, quality_min: float) -> DataFrame:
     expressions per doc, and a single-file corpus scan otherwise pins all
     of them to ONE task — the same pathology measured on dec1/pack1 in
     round 5; on a cluster it balances text-length skew. The fingerprint
-    window right after shuffles on the fingerprint anyway, so the extra
-    exchange replaces (and pre-balances) work, not adds to it."""
-    quality = _spread(docs, "doc_id").filter(quality_score("text") >= quality_min)
+    aggregation right after shuffles on the fingerprint anyway, so the
+    extra exchange replaces (and pre-balances) work, not adds to it.
 
-    w = Window.partitionBy(doc_fingerprint("text")).orderBy("doc_id")
+    min_by aggregation, not a row_number window (round 6, same change as
+    exact_dedup): partial map-side combine collapses duplicate docs
+    before the exchange — the window form shuffles every row."""
+    quality = _spread(docs, "doc_id").filter(quality_score("text") >= quality_min)
+    cols = docs.columns
     return (
-        quality.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        quality.groupBy(doc_fingerprint("text").alias("__fp"))
+        .agg(F.min_by(F.struct(*cols), F.col("doc_id")).alias("__r"))
+        .select("__r.*")
     )
 
 
