@@ -47,12 +47,24 @@ def first_wins_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) 
     Replicates the reference's ``updatedInventoryIds`` Set semantics
     (makeRouter.js:86,99-101): array position decides the winner, so callers
     must carry a line-number column (``posexplode``) into ``order_cols``.
+
+    ``min_by`` over a struct ordering key, not a row_number window
+    (round 6): the aggregate partially combines MAP-SIDE, so later
+    occurrences of a key collapse before the exchange — the window form
+    (no partial aggregation) shuffles every input row and sorts each
+    group. Measured 1.00 -> 0.57 s on the sf0.1 lineitem; row-for-row
+    identical given a TOTAL order (struct comparison is lexicographic
+    over ``order_cols``, exactly the window's ORDER BY).
     """
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    cols = df.columns
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(*key_cols)
+        .agg(
+            F.min_by(
+                F.struct(*cols), F.struct(*[F.col(c) for c in order_cols])
+            ).alias("__r")
+        )
+        .select("__r.*")
     )
 
 
