@@ -41,49 +41,51 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n, *cols)
 
 
+def keep_min_by(df: DataFrame, keys: list, order_cols: list) -> DataFrame:
+    """Keep, per key group, the single row that is minimal under the
+    total order ``order_cols`` — the shared kernel of every first-wins /
+    smallest-id dedup in the engine.
+
+    ``groupBy(keys).agg(min_by(struct(*), struct(order_cols)))`` rather
+    than a row_number window (round 6): the aggregate PARTIALLY COMBINES
+    map-side, so non-winning rows collapse before the exchange — on a
+    duplicate-heavy 100 TB web corpus the shuffle moves ~|distinct keys|
+    rows, where the window form (no partial aggregation) shuffles every
+    input row and then sorts each group (measured 1.00 -> 0.57 s on the
+    sf0.1 lineitem first-wins). min over a total order is associative,
+    so this composes natively with salted two-stage selection on hot
+    keys. ``keys`` may be names or Column expressions; ``order_cols``
+    MUST be a total order within each group or the winner is
+    partition-dependent (same contract the window form had).
+    """
+    cols = df.columns
+    ordk = F.struct(*[F.col(c) if isinstance(c, str) else c for c in order_cols])
+    return (
+        df.groupBy(*keys)
+        .agg(F.min_by(F.struct(*cols), ordk).alias("__r"))
+        .select("__r.*")
+    )
+
+
 def first_wins_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
     """Keep the first row per key under an explicit total order.
 
     Replicates the reference's ``updatedInventoryIds`` Set semantics
     (makeRouter.js:86,99-101): array position decides the winner, so callers
     must carry a line-number column (``posexplode``) into ``order_cols``.
-
-    ``min_by`` over a struct ordering key, not a row_number window
-    (round 6): the aggregate partially combines MAP-SIDE, so later
-    occurrences of a key collapse before the exchange — the window form
-    (no partial aggregation) shuffles every input row and sorts each
-    group. Measured 1.00 -> 0.57 s on the sf0.1 lineitem; row-for-row
-    identical given a TOTAL order (struct comparison is lexicographic
-    over ``order_cols``, exactly the window's ORDER BY).
+    Execution: :func:`keep_min_by` (map-side-combining aggregate).
     """
-    cols = df.columns
-    return (
-        df.groupBy(*key_cols)
-        .agg(
-            F.min_by(
-                F.struct(*cols), F.struct(*[F.col(c) for c in order_cols])
-            ).alias("__r")
-        )
-        .select("__r.*")
-    )
+    return keep_min_by(df, key_cols, order_cols)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact-duplicate removal: keep the smallest id per identical text.
 
-    ``groupBy(sha2(text)).agg(min_by(struct(*), id))`` rather than a
-    row_number window (round 6): the aggregate PARTIALLY COMBINES
-    map-side, so duplicate rows collapse before the exchange — on a
-    duplicate-heavy 100 TB web corpus the shuffle moves ~|distinct|
-    rows, where the window form (no partial aggregation) shuffles every
-    input row and sorts each group. Winner identical (ids are unique, so
-    min_by is deterministic); sha2 bounds the shuffle-key width.
+    :func:`keep_min_by` keyed on ``sha2(text)`` (bounds the shuffle-key
+    width; semantics identical for exact dedup), winner = smallest id.
     """
-    cols = df.columns
-    return (
-        df.groupBy(F.sha2(F.col(text_col), 256).alias("__fp"))
-        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__r"))
-        .select("__r.*")
+    return keep_min_by(
+        df, [F.sha2(F.col(text_col), 256).alias("__fp")], [id_col]
     )
 
 

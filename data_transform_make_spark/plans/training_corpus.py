@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, quality_score, shingles, token_count
-from ..operators.dedup import _spread, ngram_jaccard_pairs
+from ..operators.dedup import _spread, keep_min_by, ngram_jaccard_pairs
 
 SPLIT_MOD = 4294967296  # 2^32
 SPLIT_MULT = 2654435761  # Knuth multiplicative hash constant
@@ -222,11 +222,8 @@ def _quality_exact(docs: DataFrame, quality_min: float) -> DataFrame:
     exact_dedup): partial map-side combine collapses duplicate docs
     before the exchange — the window form shuffles every row."""
     quality = _spread(docs, "doc_id").filter(quality_score("text") >= quality_min)
-    cols = docs.columns
-    return (
-        quality.groupBy(doc_fingerprint("text").alias("__fp"))
-        .agg(F.min_by(F.struct(*cols), F.col("doc_id")).alias("__r"))
-        .select("__r.*")
+    return keep_min_by(
+        quality, [doc_fingerprint("text").alias("__fp")], ["doc_id"]
     )
 
 
