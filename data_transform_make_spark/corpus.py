@@ -868,6 +868,73 @@ def tf1_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "lm1_unigram_freq_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+    ), tok AS (
+      SELECT doc_id, u.t FROM toks, UNNEST(tk) AS u(t)
+    ), vocab AS (
+      SELECT t, count(*) AS cnt FROM tok GROUP BY t
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab
+    ), pd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(v.cnt) AS BIGINT) AS sum_cnt
+      FROM tok JOIN vocab v ON tok.t = v.t GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, sum_cnt,
+           CAST(sum_cnt AS DOUBLE) / CAST(n_tokens * total AS DOUBLE) AS score
+    FROM pd, tot
+    """,
+)
+def lm1_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring, transcendental-free core
+    (operators/keywords.py unigram_rarity_score): per doc, the arithmetic
+    mean of its tokens' corpus frequencies — corpus-typical text scores
+    high, rare-token soup (OCR noise, ID strings) scores low. Same plan
+    shape as true unigram perplexity (vocab groupBy + token-keyed join +
+    per-doc agg); the output stays a ratio of integers because ln() is
+    last-ulp engine-dependent while integer-derived division is exact
+    IEEE on both engines."""
+    from .operators.keywords import unigram_rarity_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_rarity_score(docs, "doc_id", "text")
+
+
+@_register(
+    "samp1_stratified_sample",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {_duck_mulhash32("doc_id", 3266489917)} AS hh
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
+      FROM h
+    )
+    SELECT doc_id, lang FROM r WHERE rn <= 5
+    """,
+)
+def samp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-N per-group sampling
+    (plans/training_corpus.py stratified_sample): keep the 5 smallest-
+    sampling-hash docs per language — the complement of mix1's hash
+    FRACTIONS (dashboards/eval carving want exactly N per group
+    regardless of group size), reproducible where TABLESAMPLE is not.
+    Third decorrelated odd multiplier (SAMP_MULT), same overflow-safe
+    mulhash32 decomposition on both engines; (hash, id) is a total
+    order, so the selected set is unique."""
+    from .plans.training_corpus import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, 5).select("doc_id", "lang")
+
+
+@_register(
     "tc1_line_cleaning",
     r"""
     WITH aug AS (
@@ -3416,12 +3483,15 @@ _DRIVER_WINDOW = [
     "a4_a6_status_transitions",
     "a5_counter_pivot",
     "x1_json_extract",
-    "w1_running_total",
+    # (w1/g1 rotated out for the new lm1/samp1 — running-total frames are
+    # exercised by the in-window pack1 window and w6-w8's r5 rows; the
+    # grouping-sets family by g3's r5 row)
+    "lm1_unigram_freq_score",
     "w3_sessionize",
     # (s1 rotated out for the new st7 — set-op plans are unchanged since
     # their r2 certification and exercised by the union legs of i1/st6)
     "st7_stream_static_join",
-    "g1_rollup",
+    "samp1_stratified_sample",
     "j2_as_of_join",
     "j3_range_join",
     "d1_exact_dedup",

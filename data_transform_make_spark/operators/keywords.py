@@ -56,3 +56,52 @@ def tfidf_topk_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "score", "rnk")
     )
+
+
+def unigram_rarity_score(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document unigram corpus-frequency score — the transcendental-
+    free core of CCNet-style LM quality filtering (documents whose tokens
+    are corpus-typical score high; rare-token soup — OCR noise, codes,
+    boilerplate IDs — scores low). True unigram perplexity is
+    ``exp(-avg ln p(t))``; this keeps the SAME plan shape with the
+    monotone-equivalent-in-spirit integer form ``sum(count(t)) /
+    (n_tokens * total_tokens)`` (the arithmetic mean of token corpus
+    frequencies), because a ``ln`` in the OUTPUT is last-ulp
+    engine-dependent (JVM Math.log vs libm) while a ratio of integers is
+    exact IEEE on both engines — swap the final projection to
+    ``avg(ln(cnt/total))`` on a real deployment if true ppl is wanted.
+
+    Scale shape (100 TB): token counts come from a token-partitioned
+    WINDOW over the exploded table (the tf1 trick — a vocabulary
+    aggregate + token-keyed join back would re-derive the explode
+    subtree, one extra corpus traversal), then one per-doc agg; the
+    global token total is a 1-row aggregate attached by broadcast cross
+    join — THE scalable global-scalar pattern (whitelisted in the plan
+    audit; same class as n1's literal query row). Nothing driver-side.
+    Returns ``(id_col, n_tokens, sum_cnt, score)``; docs with no tokens
+    are excluded (no tokens -> no frequency evidence).
+    """
+    tok = _spread(docs, id_col).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
+    cnt = F.count("*").over(Window.partitionBy("__t"))
+    per_doc = (
+        tok.withColumn("__cnt", cnt)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("__cnt").alias("sum_cnt"),
+        )
+    )
+    total = tok.agg(F.count("*").alias("__total"))
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        "n_tokens",
+        "sum_cnt",
+        (
+            F.col("sum_cnt").cast("double")
+            / (F.col("n_tokens") * F.col("__total")).cast("double")
+        ).alias("score"),
+    )

@@ -373,6 +373,43 @@ def domain_mix(
     return docs.filter(keep)
 
 
+# Stratified-sampling hash constant — a third odd multiplier, decorrelated
+# from both the split's and the mixer's so sampling fate predicts neither.
+SAMP_MULT = 3266489917  # 0xC2B2AE3D (xxhash32 prime #2)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    n_per_group: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic EXACT-N per-group sampling: keep, per group, the
+    ``n_per_group`` documents with the smallest sampling hash.
+
+    The complement to :func:`domain_mix` (which keeps a hash FRACTION —
+    group sizes then track input sizes): dashboards, eval-set carving and
+    per-domain inspection want exactly N rows per group regardless of
+    group size, still reproducible under re-runs / repartition / engine
+    change (``TABLESAMPLE``/``sample()`` are not). Hash order is a total
+    order ((hash, id) — ids unique), so the selected set is unique.
+
+    Scale shape: one shuffle keyed on the group for the per-group top-N
+    (window row_number over the hash order — N is small, so per-group
+    state is a bounded heap-like pass); a skewed giant group is one
+    reducer partition — AQE skew-split territory, or pre-filter with a
+    hash threshold (domain_mix) to decimate before ranking when groups
+    are astronomically larger than N.
+    """
+    h = mulhash32(id_col, SAMP_MULT)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
 def pack_token_budget(
     docs: DataFrame,
     budget_tokens: int,

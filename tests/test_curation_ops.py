@@ -564,3 +564,35 @@ class TestTokenBudgetPacking:
         out = pack_token_budget(docs, 4)
         got = {(r["lang"], r["doc_id"]) for r in out.collect()}
         assert got == {("en", 1), ("de", 3)}  # one doc per lang fits
+
+
+class TestStratifiedSample:
+    def test_exact_n_per_group_and_determinism(self, spark):
+        from data_transform_make_spark.plans.training_corpus import (
+            stratified_sample,
+        )
+
+        rows = [(i, "en" if i % 2 == 0 else "de", "x") for i in range(200)]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got1 = sorted((r.lang, r.doc_id) for r in stratified_sample(docs, 5).collect())
+        got2 = sorted(
+            (r.lang, r.doc_id)
+            for r in stratified_sample(docs.repartition(7), 5).collect()
+        )
+        assert got1 == got2  # identical under repartition (hash, not sample)
+        per = {}
+        for lang, _ in got1:
+            per[lang] = per.get(lang, 0) + 1
+        assert per == {"en": 5, "de": 5}  # EXACTLY N per group
+
+    def test_small_group_keeps_all(self, spark):
+        from data_transform_make_spark.plans.training_corpus import (
+            stratified_sample,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "en", "x"), (2, "en", "y"), (3, "zz", "z")],
+            "doc_id long, lang string, text string",
+        )
+        got = sorted((r.lang, r.doc_id) for r in stratified_sample(docs, 5).collect())
+        assert got == [("en", 1), ("en", 2), ("zz", 3)]

@@ -231,3 +231,24 @@ def test_clean_lines_matches_python_reference_property(spark):
         assert got == ref(text)
 
     check()
+
+
+def test_unigram_rarity_score_reference(spark):
+    """Corpus-typical docs outscore rare-token docs; the score equals the
+    hand-computed mean token corpus frequency."""
+    from data_transform_make_spark.operators.keywords import unigram_rarity_score
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "zzz qqq"), (4, "  ")],
+        "doc_id long, text string",
+    )
+    # vocab: a->3, b->2, zzz->1, qqq->1; total=7
+    out = {
+        r.doc_id: (r.n_tokens, r.sum_cnt, r.score)
+        for r in unigram_rarity_score(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == (3, 8, 8 / (3 * 7))
+    assert out[2] == (2, 5, 5 / (2 * 7))
+    assert out[3] == (2, 2, 2 / (2 * 7))
+    assert 4 not in out  # blank doc: no tokens, excluded
+    assert out[1][2] > out[3][2]  # typical text beats rare-token soup

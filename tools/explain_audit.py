@@ -37,6 +37,8 @@ ALLOW_CARTESIAN = {
     "n1_topk_cosine",         # 1-row query vector vs corpus: BNL is the plan
     "n2_lsh_topk",
     "n3_ivf_topk",
+    "lm1_unigram_freq_score",  # 1-row global token total attached by
+    # broadcast cross join — the scalable global-scalar pattern
 }
 # Streaming / mapInPandas queries run through memory sinks — the plan text
 # is the batch-materialized result, skip structural checks.
