@@ -45,6 +45,7 @@ from .operators.dedup import (
 from .operators.joins import as_of_join, bucketed_range_join
 from .operators.similarity import brute_force_topk, lsh_bucket_topk
 from .operators.windows import sessionize, top_k_per_group
+from .plans.training_corpus import SAMP_MULT
 from .sources.loader import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -118,7 +119,8 @@ def p1_status_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p4_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 (makeRouter.js:86,99-101): order-sensitive first-wins dedup —
-    window row_number, NOT dropDuplicates (SURVEY.md §7.4.3).
+    keep_min_by's map-side-combining min_by aggregate under a TOTAL
+    order, NOT dropDuplicates (SURVEY.md §7.4.3).
 
     The window order must be TOTAL for cross-engine determinism: the
     fixture lineitem has duplicate (orderkey, partkey, linenumber) rows, so
@@ -609,13 +611,14 @@ def j3_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-content fingerprint, keep smallest doc_id.
-    One shuffle keyed by the 128-bit digest (bounded key width at 100 TB)."""
+    keep_min_by (operators/dedup.py): map-side-combining aggregate keyed
+    by the 128-bit digest (bounded key width at 100 TB) — duplicates
+    collapse before the exchange."""
+    from .operators.dedup import keep_min_by
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    w = Window.partitionBy(doc_fingerprint(F.col("text"))).orderBy("doc_id")
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    return keep_min_by(
+        docs, [doc_fingerprint(F.col("text")).alias("__fp")], ["doc_id"]
     )
 
 
@@ -884,8 +887,11 @@ def tf1_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(v.cnt) AS BIGINT) AS sum_cnt
       FROM tok JOIN vocab v ON tok.t = v.t GROUP BY doc_id
     )
+    -- DOUBLE-cast factors: n_tokens * total as BIGINT overflows at the
+    -- 100 TB design point (book-length doc x ~1e13 corpus tokens)
     SELECT doc_id, n_tokens, sum_cnt,
-           CAST(sum_cnt AS DOUBLE) / CAST(n_tokens * total AS DOUBLE) AS score
+           CAST(sum_cnt AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE)) AS score
     FROM pd, tot
     """,
 )
@@ -909,7 +915,7 @@ def lm1_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH h AS (
       SELECT doc_id, lang,
-             {_duck_mulhash32("doc_id", 3266489917)} AS hh
+             {_duck_mulhash32("doc_id", SAMP_MULT)} AS hh
       FROM documents
     ), r AS (
       SELECT doc_id, lang,

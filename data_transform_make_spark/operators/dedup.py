@@ -2,9 +2,10 @@
 n-gram Jaccard, embedding-cosine near-dup (SURVEY.md §2.2 P4, §2.10).
 
 Scale notes (the 100 TB design point):
-  * ``first_wins_dedup`` is one shuffle on the key (window + row_number) —
-    the only correct replication of the reference's order-sensitive Set
-    dedup (makeRouter.js:86,99-101,127) under parallelism; ``dropDuplicates``
+  * ``first_wins_dedup`` is one shuffle on the key — ``keep_min_by``'s
+    map-side-combining ``min_by(struct(*), struct(order))`` aggregate —
+    the correct replication of the reference's order-sensitive Set dedup
+    (makeRouter.js:86,99-101,127) under parallelism; ``dropDuplicates``
     picks an arbitrary row per key across partitions (SURVEY.md §7.4.3).
   * MinHash/SimHash signatures are **map-only** — per-document HOF folds
     (``transform``/``aggregate`` over the token array), no explode, no

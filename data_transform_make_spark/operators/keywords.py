@@ -73,35 +73,45 @@ def unigram_rarity_score(
     exact IEEE on both engines — swap the final projection to
     ``avg(ln(cnt/total))`` on a real deployment if true ppl is wanted.
 
-    Scale shape (100 TB): token counts come from a token-partitioned
-    WINDOW over the exploded table (the tf1 trick — a vocabulary
-    aggregate + token-keyed join back would re-derive the explode
-    subtree, one extra corpus traversal), then one per-doc agg; the
-    global token total is a 1-row aggregate attached by broadcast cross
-    join — THE scalable global-scalar pattern (whitelisted in the plan
-    audit; same class as n1's literal query row). Nothing driver-side.
+    Scale shape (100 TB): one vocabulary groupBy over the exploded table
+    (map-side combined — a stopword's billions of occurrences partial-
+    aggregate per partition; a token-partitioned WINDOW here would have
+    NO partial aggregation and concentrate every 'the' occurrence on one
+    task, review round 6), then the per-doc pass re-joins tokens to the
+    ~|vocab| aggregate keyed on the token (AQE broadcasts it — the probe
+    side stays map-only, so hot tokens cannot skew a shuffle); the
+    global token total derives from the tiny vocabulary frame and is
+    attached by a 1-row broadcast cross join — THE scalable
+    global-scalar pattern (whitelisted in the plan audit alongside n1's
+    literal query row). Costs one extra corpus traversal vs a window
+    form; skew-safety wins at scale. Nothing driver-side.
     Returns ``(id_col, n_tokens, sum_cnt, score)``; docs with no tokens
-    are excluded (no tokens -> no frequency evidence).
+    are excluded (no tokens -> no frequency evidence). The score divides
+    DOUBLE-cast factors — n_tokens * total as int64 overflows at the
+    design point (~1e13 corpus tokens x a book-length doc).
     """
     tok = _spread(docs, id_col).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
     )
-    cnt = F.count("*").over(Window.partitionBy("__t"))
+    vocab = tok.groupBy("__t").agg(F.count("*").alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").cast("long").alias("__total"))
     per_doc = (
-        tok.withColumn("__cnt", cnt)
+        tok.join(vocab, "__t")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),
             F.sum("__cnt").alias("sum_cnt"),
         )
     )
-    total = tok.agg(F.count("*").alias("__total"))
     return per_doc.crossJoin(F.broadcast(total)).select(
         F.col(id_col),
         "n_tokens",
         "sum_cnt",
         (
             F.col("sum_cnt").cast("double")
-            / (F.col("n_tokens") * F.col("__total")).cast("double")
+            / (
+                F.col("n_tokens").cast("double")
+                * F.col("__total").cast("double")
+            )
         ).alias("score"),
     )
