@@ -1167,6 +1167,122 @@ def sd1_substring_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "par1_paragraph_dedup",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+        regexp_replace(text, '((\S+ ){9}\S+) ', '\1' || chr(10) || chr(10), 'g')
+        || CASE WHEN doc_id % 4 = 0
+             THEN chr(10) || chr(10)
+               || 'call now to subscribe to our newsletter today'
+             ELSE '' END AS t
+      FROM documents
+    ), sp AS (
+      SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps
+      FROM aug WHERE t IS NOT NULL
+    ), p AS (
+      SELECT doc_id, i - 1 AS pos, ps[i] AS para
+      FROM sp, unnest(generate_series(1, len(ps))) AS u(i)
+      WHERE len(trim(ps[i])) > 0
+    ), r AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos)
+               AS rn
+      FROM p
+    )
+    SELECT doc_id,
+           md5(string_agg(para, chr(10) || chr(10) ORDER BY pos)) AS text_md5,
+           CAST(count(*) AS BIGINT) AS n_paras
+    FROM r WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def par1_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-GLOBAL paragraph dedup (operators/dedup.py paragraph_dedup)
+    — the C4 recipe: every distinct paragraph survives exactly once
+    corpus-wide (first occurrence by (doc_id, pos) reading order), docs
+    reassembled from their surviving paragraphs. Completes the dedup
+    granularity ladder: whole-doc (d1) / cross-doc paragraph (this) /
+    per-doc line (tc1) / span report (sd1). Fixture text is single-line,
+    so paragraphs are planted deterministically (a break every 10 words;
+    every 4th doc appends one shared boilerplate paragraph — the
+    i1/tc1/sd1 synthesis pattern, so the driver row shows the cross-doc
+    removal actually firing: the boilerplate survives only in doc 0).
+    Two map-side-combining shuffles, join-free; the md5 of the
+    reassembled text puts paragraph content AND reading order under the
+    hash gate."""
+    from .operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"((\S+ ){9}\S+) ", "$1\n\n"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\n\ncall now to subscribe to our newsletter today"),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    out = paragraph_dedup(aug, "doc_id", "t")
+    return out.select(
+        "doc_id", F.md5(F.col("t")).alias("text_md5"), "n_paras"
+    )
+
+
+@_register(
+    "dq1_column_profile",
+    r"""
+    WITH src AS (
+      SELECT o_orderstatus, o_orderpriority, o_custkey,
+             nullif(o_orderstatus, 'P') AS status_nullable
+      FROM orders
+    ), s AS (
+      SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM src
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM src
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM src
+      UNION ALL
+      SELECT 'status_nullable', status_nullable FROM src
+    ), c AS (
+      SELECT col_name, val, count(*) AS cnt FROM s GROUP BY 1, 2
+    )
+    SELECT col_name,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(coalesce(SUM(CASE WHEN val IS NULL THEN cnt END), 0)
+             AS BIGINT) AS n_nulls,
+           CAST(count(val) AS BIGINT) AS n_distinct,
+           min(val) AS min_val,
+           max(val) AS max_val
+    FROM c GROUP BY 1
+    """,
+)
+def dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality profile (operators/profile.py
+    profile_columns): per audited column — completeness (null count),
+    EXACT distinctness, lexicographic value bounds — the batch-level
+    statement of the row-level constraints the reference enforces per
+    webhook row (Status / Inventory Item ID / Quantity,
+    makeRouter.js:34,86-101). Exact path: two shuffles regardless of
+    column count (stacked (col, val) counts, map-side combined), never
+    k-distinct-aggregates-in-one-agg (Catalyst's Expand). The fixture
+    has no NULLs, so one nullable column is planted via nullif — the
+    i1/tc1 synthesis pattern, so the driver row shows the completeness
+    counter actually firing. The approximate single-pass HLL++ variant
+    is the 100 TB default (tests assert tolerance)."""
+    from .operators.profile import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    aug = orders.withColumn(
+        "status_nullable", F.expr("nullif(o_orderstatus, 'P')")
+    )
+    return profile_columns(
+        aug,
+        ["o_orderstatus", "o_orderpriority", "o_custkey", "status_nullable"],
+    )
+
+
+@_register(
     "d2_ngram_jaccard",
     r"""
     WITH toks AS (

@@ -90,6 +90,66 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-global paragraph-level exact dedup (C4-style): keep only the
+    FIRST occurrence (by ``(id, position)`` reading order) of every
+    distinct paragraph across the whole corpus, then reassemble each
+    document from its surviving paragraphs in original order.
+
+    The granularity ladder: whole-document (:func:`exact_dedup`) misses
+    boilerplate embedded in otherwise-unique pages; per-document line
+    cleaning (``functions.text.clean_lines``) cannot see repeats ACROSS
+    documents. Paragraph-global dedup is the C4 recipe for both — a
+    navigation block or license footer pasted into millions of pages
+    survives exactly once, corpus-wide.
+
+    Execution shape — two map-side-combining shuffles, join-free:
+
+      1. ``split`` + ``posexplode`` → ``(id, pos, para)``, blank
+         paragraphs dropped (map-only);
+      2. :func:`keep_min_by` keyed on ``md5(para)`` — winner is the
+         ``(id, pos)``-minimal occurrence. The aggregate partially
+         combines before the exchange, so a boilerplate paragraph
+         repeated across millions of documents collapses to ~one
+         candidate row PER MAP PARTITION pre-shuffle: hot-paragraph skew
+         (the norm in web data — empty footers, cookie banners) never
+         concentrates on a reducer. The 128-bit key also bounds shuffle
+         width: paragraph text itself never shuffles twice.
+      3. ``groupBy(id)`` + ``array_sort(collect_list(struct(pos, para)))``
+         → ``concat_ws`` reassembly (second shuffle, keyed on the doc id).
+
+    Deterministic under any partitioning: the winner is a global min over
+    the ``(id, pos)`` total order. Output: ``(id, text, n_paras)`` — one
+    row per document that retains at least one paragraph; ``n_paras`` is
+    the surviving-paragraph count (LONG).
+    """
+    paras = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).filter(F.length(F.trim(F.col("para"))) > 0)
+    winners = keep_min_by(
+        paras, [F.md5(F.col("para")).alias("__ph")], [id_col, "pos"]
+    )
+    return (
+        winners.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "para"))).alias("__ps")
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                sep, F.expr("transform(__ps, x -> x.para)")
+            ).alias(text_col),
+            F.size("__ps").cast("long").alias("n_paras"),
+        )
+    )
+
+
 def _minhash_cols(
     shingle: Column, num_hashes: int, hash_family: str = "xxhash64"
 ) -> list[Column]:

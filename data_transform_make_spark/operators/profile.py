@@ -1,0 +1,100 @@
+"""Column profiling / data-quality report (Deequ-style constraint input).
+
+A large-scale ingestion pipeline gates every batch on a profile of the
+columns it is about to trust: completeness (null fraction), exact or
+approximate distinctness, and value bounds. The reference app has the
+same need in miniature — it trusts `Status`, `Inventory Item ID`,
+`Quantity` per webhook row (makeRouter.js:34,86-101) and dead-letters
+rows that violate them; a profile is the batch-level statement of those
+row-level constraints.
+
+Two execution shapes, chosen by ``exact``:
+
+* ``exact=True`` — EXACT distinct counts for any number of columns in
+  exactly TWO shuffles, independent of column count: stack the audited
+  columns into ``(col_name, val)`` rows (map-only explode of a k-struct
+  array), count by ``(col_name, val)`` (map-side combined — a
+  low-cardinality status column collapses to ~|distinct| rows per map
+  partition before the exchange), then fold the counts per column.
+  Never ``count(DISTINCT a), count(DISTINCT b), ...`` in one agg: at k
+  distinct-aggregates Catalyst plans an Expand (k× the input rows into
+  ONE shuffle); the stacked shape pays the same k× fan-out but combines
+  each column's values independently map-side.
+* ``exact=False`` — ONE map-only pass: per column
+  ``approx_count_distinct`` (HLL++, mergeable sketch state) next to
+  count/min/max in a single aggregate, no explode. This is the 100 TB
+  default — distinctness is a gate threshold, not an invoice, and the
+  sketch's ~2% error is far below any useful threshold; the exact path
+  exists because the driver's value-hash oracle needs bit-exact output.
+
+Values are profiled as their ``string`` cast so one report schema covers
+heterogeneous columns; min/max are therefore LEXICOGRAPHIC on the cast
+(binary/UTF8 collation — identical in Spark and DuckDB). Callers who
+need numeric bounds profile the numeric column separately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], exact: bool = True
+) -> DataFrame:
+    """One report row per audited column:
+    ``(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)``.
+
+    ``n_distinct`` counts non-null distinct values — exact when
+    ``exact=True``, HLL++ (±~2%) when ``exact=False``. ``min_val`` /
+    ``max_val`` are lexicographic over the string cast, nulls ignored.
+    """
+    if not cols:
+        raise ValueError("profile_columns: need at least one column")
+    if exact:
+        stacked = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col_name"),
+                            F.col(c).cast("string").alias("val"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("cv")
+        ).select("cv.*")
+        counts = stacked.groupBy("col_name", "val").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        return counts.groupBy("col_name").agg(
+            F.sum("cnt").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("val").isNull(), F.col("cnt"))), F.lit(0)
+            ).alias("n_nulls"),
+            F.count("val").alias("n_distinct"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+    # approximate: single map-only aggregate, one tiny row per column,
+    # assembled with a unionByName of k one-row frames (k is the audited
+    # column count — a handful; the union is driver-plan-side only, every
+    # leg shares the one scan via column pruning into a common project)
+    legs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        legs.append(
+            df.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(s)).alias("n_nulls"),
+                F.approx_count_distinct(s).alias("n_distinct"),
+                F.min(s).alias("min_val"),
+                F.max(s).alias("max_val"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

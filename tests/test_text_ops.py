@@ -252,3 +252,47 @@ def test_unigram_rarity_score_reference(spark):
     assert out[3] == (2, 2, 2 / (2 * 7))
     assert 4 not in out  # blank doc: no tokens, excluded
     assert out[1][2] > out[3][2]  # typical text beats rare-token soup
+
+
+def test_paragraph_dedup_cross_doc_first_wins(spark):
+    """Cross-doc paragraph dedup: a paragraph repeated across documents
+    survives only at its (doc_id, pos)-first occurrence; reassembly keeps
+    original reading order; blank paragraphs are dropped; a doc whose
+    every paragraph was seen earlier disappears."""
+    from data_transform_make_spark.operators.dedup import paragraph_dedup
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (10, f"intro ten\n\n{boiler}\n\nbody ten"),
+            # doc 20: boiler is a dup (first seen in doc 10, pos 1);
+            # also repeats its OWN paragraph ("body twenty")
+            (20, f"{boiler}\n\nbody twenty\n\n\n\nbody twenty"),
+            # doc 30: nothing but already-seen paragraphs -> vanishes
+            (30, f"{boiler}\n\nbody ten"),
+            (40, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_paras)
+        for r in paragraph_dedup(docs, "doc_id", "text").collect()
+    }
+    assert out[10] == (f"intro ten\n\n{boiler}\n\nbody ten", 3)
+    assert out[20] == ("body twenty", 1)
+    assert 30 not in out
+    assert 40 not in out  # NULL text -> no paragraphs
+
+
+def test_paragraph_dedup_within_doc_keeps_earliest_position(spark):
+    """Within one document the earliest position wins, so reassembly
+    preserves the first occurrence's place in the text."""
+    from data_transform_make_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha one\n\nbeta two\n\nalpha one\n\ngamma three")],
+        "doc_id long, text string",
+    )
+    (row,) = paragraph_dedup(docs, "doc_id", "text").collect()
+    assert row.text == "alpha one\n\nbeta two\n\ngamma three"
+    assert row.n_paras == 3
