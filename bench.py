@@ -65,6 +65,13 @@ HEADLINE = [
     # duplicated-span report — both map-only/one-shuffle text-curation ops
     "tc1_line_cleaning",
     "sd1_substring_dup_report",
+    # added late round 6 (same caveat): paragraph-global dedup, column
+    # profile, BM25 retrieval, CDC snapshot diff, hopping windows
+    "par1_paragraph_dedup",
+    "dq1_column_profile",
+    "bm25_1_query_ranking",
+    "diff1_snapshot_diff",
+    "hop1_hopping_window_agg",
 ]
 
 RUNS_PER_PASS = 3

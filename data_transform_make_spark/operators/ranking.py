@@ -1,0 +1,120 @@
+"""Query-relevance ranking over a document corpus: BM25 scoring with a
+rational (log-free) idf.
+
+The retrieval side of a training-data pipeline — "find the documents most
+relevant to these probe terms" — is the same need as the reference's
+point-GET lookup (server.js routes a key to a record) lifted from exact
+keys to ranked full-text relevance.
+
+Scoring: Okapi BM25 with the idf's log removed —
+``idf_t = (N - df_t + 0.5) / (df_t + 0.5)`` (the raw Robertson/Sparck
+Jones odds; the published form wraps it in ``ln``). Rationale: ``ln`` is
+last-ulp engine-dependent (the lm1 lesson) while +,*,/ on doubles are
+IEEE-exact and bit-identical across engines when evaluated in the same
+expression-tree order — and dropping a per-term monotone transform keeps
+the score a deterministic, oracle-checkable document statistic. Callers
+who want the classical damping apply ``ln`` at the boundary.
+
+Execution shape (the 100 TB design point):
+
+  * Query terms are LITERALS, so per-document ``tf_t`` is
+    ``size(filter(tokens, x = t))`` — a pure Column expression: the tf /
+    dl projection is MAP-ONLY, no explode, no (doc, term) shuffle at all.
+  * Corpus stats (N, Σdl, per-term df) are ONE single-row aggregate over
+    that narrow projection, broadcast back with a crossJoin — no second
+    wide shuffle. The projection is computed twice (once under the stats
+    agg, once under the score map); at 100 TB checkpoint the ~40-byte/doc
+    projection to Parquet and read it twice — the text is tokenized once.
+  * The per-document score is a FIXED expression tree (terms folded
+    left-to-right in ``query_terms`` order), not a shuffled SUM — float
+    addition order is pinned, so the score is reproducible under any
+    partitioning and matches the SQL twin bit-for-bit.
+  * Top-k lands in ``TakeOrderedAndProject`` (per-partition heaps, no
+    global sort) with ``(score DESC, id)`` — a total order, deterministic
+    through score ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by rational-idf BM25 against ``query_terms``.
+
+    Output: ``(id, dl, tf_<term>..., score)`` ordered by
+    ``(score DESC, id)``. ``dl`` is the whitespace-token document length;
+    blank/NULL documents score 0 for every term (tf = 0, and the length
+    normalization stays finite because ``1 - b > 0``).
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: need at least one query term")
+    tk = tokens(F.col(text_col))
+
+    # NB: the closure must be built by a helper, not `lambda x, t=t: ...` —
+    # F.filter dispatches on the lambda's ARITY, and a defaulted second
+    # parameter selects the (element, index) form, binding the index over
+    # the term
+    def _eq(term: str):
+        lit = F.lit(term)
+        return lambda x: x == lit
+
+    tf_cols = [
+        F.size(F.filter(tk, _eq(t))).cast("long").alias(f"tf_{t}")
+        for t in query_terms
+    ]
+    base = df.select(
+        F.col(id_col), F.size(tk).cast("long").alias("dl"), *tf_cols
+    )
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("dl").alias("__sumdl"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col(f"tf_{t}") > 0, F.lit(1))), F.lit(0)
+            ).alias(f"__df_{t}")
+            for t in query_terms
+        ],
+    )
+
+    j = base.crossJoin(F.broadcast(stats))
+
+    # constants resolved to Python doubles ONCE and injected as literals,
+    # so both engines parse the identical decimal (k1 + 1 is not
+    # necessarily the double nearest "2.2" — never re-derive it SQL-side)
+    k1p1, one_minus_b = k1 + 1.0, 1.0 - b
+    ratio = F.col("dl").cast("double") / (
+        F.col("__sumdl").cast("double") / F.col("__n").cast("double")
+    )
+    score = None
+    for t in query_terms:
+        tf = F.col(f"tf_{t}").cast("double")
+        idf = (F.col("__n") - F.col(f"__df_{t}") + F.lit(0.5)) / (
+            F.col(f"__df_{t}") + F.lit(0.5)
+        )
+        s = idf * (
+            (tf * F.lit(k1p1))
+            / (tf + F.lit(k1) * (F.lit(one_minus_b) + F.lit(b) * ratio))
+        )
+        score = s if score is None else score + s
+
+    return (
+        j.select(
+            id_col, "dl", *[f"tf_{t}" for t in query_terms],
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,48 @@
+"""Snapshot diff (operators/diff.py): four-way classification, NULL
+content, multi-column content keys."""
+
+import pytest
+
+from data_transform_make_spark.operators.diff import (
+    snapshot_diff,
+    snapshot_diff_summary,
+)
+
+
+def test_four_way_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "id long, text string"
+    )
+    out = {r.id: r.status for r in snapshot_diff(old, new, "id", ["text"]).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+    summary = {
+        r.status: r.n
+        for r in snapshot_diff_summary(old, new, "id", ["text"]).collect()
+    }
+    assert summary == {"removed": 1, "unchanged": 1, "changed": 1, "added": 1}
+
+
+def test_null_content_hashes_stably(spark):
+    old = spark.createDataFrame([(1, None), (2, None)], "id long, text string")
+    new = spark.createDataFrame([(1, None), (2, "x")], "id long, text string")
+    out = {r.id: r.status for r in snapshot_diff(old, new, "id", ["text"]).collect()}
+    assert out == {1: "unchanged", 2: "changed"}
+
+
+def test_multi_column_content_and_separator(spark):
+    # ("ab", "c") vs ("a", "bc"): naive concat would collide; the unit
+    # separator keeps the column boundary in the hash
+    old = spark.createDataFrame([(1, "ab", "c")], "id long, a string, b string")
+    new = spark.createDataFrame([(1, "a", "bc")], "id long, a string, b string")
+    out = {r.id: r.status for r in snapshot_diff(old, new, "id", ["a", "b"]).collect()}
+    assert out == {1: "changed"}
+
+
+def test_empty_content_cols_rejected(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, "id", [])

@@ -1,0 +1,63 @@
+"""BM25 ranking (operators/ranking.py): hand-computed reference scores,
+length normalization direction, multi-term additivity."""
+
+import pytest
+
+from data_transform_make_spark.operators.ranking import bm25_topk
+
+
+def test_bm25_hand_computed_single_term(spark):
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog dog"), (3, "cat")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, "doc_id", "text", ["cat"], k=10).collect()
+    # N=3, sumdl=6, avgdl=2, df=2 -> idf = 1.5/2.5 = 0.6
+    # d1: tf=2 dl=3 -> 0.6 * 4.4 / (2 + 1.2*(0.25 + 0.75*1.5))
+    # d3: tf=1 dl=1 -> 0.6 * 2.2 / (1 + 1.2*(0.25 + 0.75*0.5))
+    s1 = 0.6 * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * (3 / 2)))
+    s3 = 0.6 * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * (1 / 2)))
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].score == pytest.approx(s1, abs=1e-12)
+    assert by_id[3].score == pytest.approx(s3, abs=1e-12)
+    assert by_id[2].score == 0.0
+    # shorter doc with the same raw tf-rate ranks higher (length norm)
+    assert [r.doc_id for r in out] == [3, 1, 2]
+    assert (by_id[1].dl, by_id[1].tf_cat) == (3, 2)
+
+
+def test_bm25_multi_term_additive(spark):
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat cat"), (3, "fish")],
+        "doc_id long, text string",
+    )
+    one = {
+        r.doc_id: r.score
+        for r in bm25_topk(docs, "doc_id", "text", ["cat"], k=10).collect()
+    }
+    two = {
+        r.doc_id: r.score
+        for r in bm25_topk(
+            docs, "doc_id", "text", ["cat", "dog"], k=10
+        ).collect()
+    }
+    # doc 1 gains the dog term's contribution; doc 2's score is unchanged
+    # (tf_dog = 0 adds exactly 0.0)
+    assert two[2] == one[2]
+    assert two[1] > one[1]
+
+
+def test_bm25_k_limits_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(i, "same text") for i in range(5)], "doc_id long, text string"
+    )
+    out = bm25_topk(docs, "doc_id", "text", ["same"], k=3).collect()
+    # identical scores everywhere: the (score DESC, id) total order keeps
+    # the smallest ids
+    assert [r.doc_id for r in out] == [0, 1, 2]
+
+
+def test_bm25_rejects_empty_terms(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "doc_id", "text", [])

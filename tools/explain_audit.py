@@ -39,6 +39,8 @@ ALLOW_CARTESIAN = {
     "n3_ivf_topk",
     "lm1_unigram_freq_score",  # 1-row global token total attached by
     # broadcast cross join — the scalable global-scalar pattern
+    "bm25_1_query_ranking",  # 1-row corpus stats (N, sumdl, dfs) attached
+    # by broadcast cross join — same global-scalar pattern as lm1
 }
 # Streaming / mapInPandas queries run through memory sinks — the plan text
 # is the batch-materialized result, skip structural checks.
