@@ -2250,6 +2250,40 @@ def st1_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "st8_stream_hopping_window",
+    """
+    WITH e AS (
+      SELECT event_type,
+             date_trunc('hour', ts)
+               + CASE WHEN extract(minute FROM ts) >= 30
+                      THEN INTERVAL '30' MINUTE
+                      ELSE INTERVAL '0' MINUTE END AS s0
+      FROM events
+    ), x AS (
+      SELECT event_type, s0 AS ws FROM e
+      UNION ALL
+      SELECT event_type, s0 - INTERVAL '30' MINUTE FROM e
+    )
+    SELECT CAST(ws AS VARCHAR) AS window_start, event_type,
+           count(*) AS n
+    FROM x GROUP BY 1, 2
+    """,
+)
+def st8_stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked HOPPING-window aggregation as a REAL streaming query
+    (readStream → window(1h, 30m) → memory sink, availableNow): each
+    event expands into two overlapping windows map-side before the
+    stateful shuffle — the streaming twin of batch `hop1`, sharing its
+    2-way-UNION grid oracle. Completes the streaming window family:
+    tumbling (st1), session (st5), hopping (this)."""
+    from .streaming.pipelines import streaming_window_agg
+
+    return streaming_window_agg(
+        spark, sf_dir, window="1 hour", slide="30 minutes"
+    )
+
+
+@_register(
     "st2_stream_dedup",
     """
     SELECT event_type, count(*) AS n FROM events GROUP BY event_type

@@ -65,18 +65,34 @@ def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
 
 
 def streaming_window_agg(
-    spark: SparkSession, sf_dir: str, window: str = "1 hour", watermark: str = "10 minutes"
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregation, run to completion.
+    """Watermarked tumbling (or, with ``slide``, hopping) window
+    aggregation, run to completion.
+
+    ``slide`` < ``window`` gives overlapping hopping windows: each event
+    expands map-side into width/slide windows before the shuffle — the
+    streaming twin of the batch `hop1` plan, with the same state-store
+    keying (window, event_type); watermark expiry bounds state exactly as
+    for tumbling windows.
 
     Complete output mode so every window surfaces in one availableNow pass
     (append would hold windows until the watermark crosses them — correct
     for unbounded runs, empty for a single catch-up batch).
     """
     ev = stream_events(spark, sf_dir)
+    w = (
+        F.window("ts", window, slide)
+        if slide is not None
+        else F.window("ts", window)
+    )
     agg = (
         ev.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(w.alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
         .select(
             F.col("w.start").cast("string").alias("window_start"),

@@ -302,3 +302,35 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_hopping_window_matches_batch_expansion(spark, sf_dir):
+    """st8: hopping windows (1h width, 30m slide) — every event lands in
+    exactly width/slide = 2 windows, and the streamed counts equal the
+    batch F.window expansion."""
+    from data_transform_make_spark.streaming.pipelines import (
+        streaming_window_agg,
+    )
+
+    got = {
+        (r.window_start, r.event_type, r.n)
+        for r in streaming_window_agg(
+            spark, sf_dir, window="1 hour", slide="30 minutes"
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r.window_start, r.event_type, r.n)
+        for r in ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    assert sum(n for _, _, n in got) == 2 * ev.count()

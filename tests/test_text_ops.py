@@ -296,3 +296,46 @@ def test_paragraph_dedup_within_doc_keeps_earliest_position(spark):
     (row,) = paragraph_dedup(docs, "doc_id", "text").collect()
     assert row.text == "alpha one\n\nbeta two\n\ngamma three"
     assert row.n_paras == 3
+
+
+def test_paragraph_dedup_matches_python_reference_property(spark):
+    """Hypothesis: paragraph_dedup == a direct Python reference (global
+    first-(id, pos) winner per distinct paragraph, reassembly in position
+    order) on arbitrary small corpora."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_transform_make_spark.operators.dedup import paragraph_dedup
+
+    para = st.sampled_from(["aa bb", "cc", "dd ee ff", "", "  "])
+    doc = st.lists(para, min_size=0, max_size=5).map("\n\n".join)
+    corpus = st.lists(doc, min_size=1, max_size=5)
+
+    def ref(texts):
+        seen = set()
+        out = {}
+        for i, text in enumerate(texts):
+            kept = []
+            for p in text.split("\n\n"):
+                if not p.strip():
+                    continue
+                if p not in seen:
+                    seen.add(p)
+                    kept.append(p)
+            if kept:
+                out[i] = ("\n\n".join(kept), len(kept))
+        return out
+
+    @settings(max_examples=20, deadline=None)
+    @given(corpus)
+    def check(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.text, r.n_paras)
+            for r in paragraph_dedup(df, "doc_id", "text").collect()
+        }
+        assert got == ref(texts)
+
+    check()
