@@ -211,17 +211,20 @@ def _quality_exact(docs: DataFrame, quality_min: float) -> DataFrame:
     deduped corpus feeds two consumers there; a leaked session-long cache
     of a near-full corpus is the worst-case CacheManager accumulation).
 
-    ``_spread`` first (round 6): the quality gate is three regex-heavy
-    expressions per doc, and a single-file corpus scan otherwise pins all
-    of them to ONE task — the same pathology measured on dec1/pack1 in
-    round 5; on a cluster it balances text-length skew. The fingerprint
-    aggregation right after shuffles on the fingerprint anyway, so the
-    extra exchange replaces (and pre-balances) work, not adds to it.
-
     min_by aggregation, not a row_number window (round 6, same change as
     exact_dedup): partial map-side combine collapses duplicate docs
-    before the exchange — the window form shuffles every row."""
-    quality = _spread(docs, "doc_id").filter(quality_score("text") >= quality_min)
+    before the exchange — the window form shuffles every row.
+
+    Deliberately NOT ``_spread`` first (measured 2×2 at sf0.1, late r6:
+    spread+min_by 3.69 s, spread+window 3.26, nospread+window 3.31,
+    nospread+min_by 2.87 — the repartition's extra stages cost more than
+    single-task regex on a one-file fixture corpus, because the persisted
+    dedup output is materialized once and the pair-generation stage
+    ``_spread``s internally anyway). On a real 100 TB corpus the input is
+    thousands of splits, so the one-file pathology this would guard
+    against does not occur; text-length skew is balanced by the
+    fingerprint exchange immediately below."""
+    quality = docs.filter(quality_score("text") >= quality_min)
     return keep_min_by(
         quality, [doc_fingerprint("text").alias("__fp")], ["doc_id"]
     )
