@@ -126,7 +126,9 @@ def paragraph_dedup(
     Deterministic under any partitioning: the winner is a global min over
     the ``(id, pos)`` total order. Output: ``(id, text, n_paras)`` — one
     row per document that retains at least one paragraph; ``n_paras`` is
-    the surviving-paragraph count (LONG).
+    the surviving-paragraph count (LONG). ``sep`` is passed to
+    ``F.split`` and is therefore a Java REGEX — the default (two literal
+    newlines) is regex-safe; escape metacharacters in custom separators.
     """
     paras = df.select(
         id_col,

@@ -20,9 +20,11 @@ Two execution shapes, chosen by ``exact``:
   distinct-aggregates Catalyst plans an Expand (k× the input rows into
   ONE shuffle); the stacked shape pays the same k× fan-out but combines
   each column's values independently map-side.
-* ``exact=False`` — ONE map-only pass: per column
-  ``approx_count_distinct`` (HLL++, mergeable sketch state) next to
-  count/min/max in a single aggregate, no explode. This is the 100 TB
+* ``exact=False`` — ONE pass: every column's
+  ``approx_count_distinct`` (HLL++, mergeable sketch state) sits next to
+  its count/min/max in a SINGLE wide aggregate (5k expressions, all
+  map-side combined, one scan), and the per-column report rows are an
+  explode over the resulting one row — driver-cheap. This is the 100 TB
   default — distinctness is a gate threshold, not an invoice, and the
   sketch's ~2% error is far below any useful threshold; the exact path
   exists because the driver's value-hash oracle needs bit-exact output.
@@ -77,24 +79,34 @@ def profile_columns(
             F.min("val").alias("min_val"),
             F.max("val").alias("max_val"),
         )
-    # approximate: single map-only aggregate, one tiny row per column,
-    # assembled with a unionByName of k one-row frames (k is the audited
-    # column count — a handful; the union is driver-plan-side only, every
-    # leg shares the one scan via column pruning into a common project)
-    legs = []
-    for c in cols:
+    # approximate: ONE aggregate computes every column's stats side by
+    # side in a single pass (5k aggregate expressions for k columns, all
+    # partially combined map-side), yielding ONE wide row; the per-column
+    # report rows are then an explode over that single row — driver-cheap,
+    # no second scan. (A unionByName of k per-column one-row aggregates
+    # reads k times: Catalyst does not fuse scans across union legs.)
+    aggs: list = []
+    for i, c in enumerate(cols):
         s = F.col(c).cast("string")
-        legs.append(
-            df.agg(
+        aggs += [
+            F.count(F.lit(1)).alias(f"__r{i}"),
+            (F.count(F.lit(1)) - F.count(s)).alias(f"__z{i}"),
+            F.approx_count_distinct(s).alias(f"__d{i}"),
+            F.min(s).alias(f"__mn{i}"),
+            F.max(s).alias(f"__mx{i}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(c).alias("col_name"),
-                F.count(F.lit(1)).alias("n_rows"),
-                (F.count(F.lit(1)) - F.count(s)).alias("n_nulls"),
-                F.approx_count_distinct(s).alias("n_distinct"),
-                F.min(s).alias("min_val"),
-                F.max(s).alias("max_val"),
+                F.col(f"__r{i}").alias("n_rows"),
+                F.col(f"__z{i}").alias("n_nulls"),
+                F.col(f"__d{i}").alias("n_distinct"),
+                F.col(f"__mn{i}").alias("min_val"),
+                F.col(f"__mx{i}").alias("max_val"),
             )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+            for i, c in enumerate(cols)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
