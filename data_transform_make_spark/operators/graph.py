@@ -45,6 +45,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    small_graph_threshold: int | None = 100_000,
 ) -> DataFrame:
     """Assign every vertex in the pair graph its component's min vertex id.
 
@@ -71,6 +72,19 @@ def connected_components(
        set when it differs from the current value, but two concurrent
        callers passing different dirs still retarget each other's reliable
        checkpoints; namespace per-job paths under one shared root instead.
+
+    ``small_graph_threshold``: near-dup pair graphs are usually TINY
+    relative to the corpus that produced them (a curated corpus yields
+    few pairs; a capped production pass bounds them by construction).
+    When the deduplicated doubled edge list is at most this many rows,
+    solve with union-find ON THE DRIVER — one bounded collect (the
+    ``hot_keys``/broadcast-threshold class of driver action: 100k edges
+    ≈ a few MB) replacing 3+ distributed jobs per round plus a
+    checkpoint per round. Above the threshold — or with ``None``/``0``
+    to force it — the distributed min-label/pointer-jump fixpoint runs
+    unchanged, so scale safety is never lost: the fast path is an
+    optimization gate, not a capacity limit. Both paths produce the
+    identical deterministic output (min reachable id per vertex).
     """
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
@@ -94,19 +108,53 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Empty-graph early-out: a well-curated (or capped) corpus routinely
-    # yields ZERO near-dup pairs — without the guard that still costs a
-    # full label-init + one round + convergence count (~0.5 s of pure job
-    # scheduling). isEmpty() reads one partition of the just-persisted
-    # edge frame; the empty result frame keeps the output schema.
-    if edges.isEmpty():
-        out_schema = edges.select(
-            F.col("u").alias("id"), F.col("u").alias("cluster_id")
-        ).schema
+    # One count materializes the persisted edge frame and gates BOTH
+    # guards: the empty-graph early-out (a well-curated or capped corpus
+    # routinely yields ZERO pairs — without the guard that still costs a
+    # full label-init + one round + convergence count, ~0.5 s of pure job
+    # scheduling) and the small-graph driver fast path. The edges would
+    # be fully materialized by round 1 anyway, so the count re-reads
+    # cached blocks, not the pair-generation lineage.
+    out_schema = edges.select(
+        F.col("u").alias("id"), F.col("u").alias("cluster_id")
+    ).schema
+    n_edges = edges.count()
+    if n_edges == 0:
         edges.unpersist()
         # a LOCAL empty frame, not limit(0) over the edge lineage — the
         # latter would re-run pair generation for every consumer
         return pairs.sparkSession.createDataFrame([], out_schema)
+    if small_graph_threshold and n_edges <= small_graph_threshold:
+        # driver union-find with path compression; output = min vertex id
+        # per component, identical to the distributed fixpoint
+        parent: dict = {}
+
+        def _find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.collect():
+            a, b = row[0], row[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                parent[ra] = rb
+        edges.unpersist()
+        comp_min: dict = {}
+        roots = {v: _find(v) for v in parent}
+        for v, r in roots.items():
+            if r not in comp_min or v < comp_min[r]:
+                comp_min[r] = v
+        return spark.createDataFrame(
+            [(v, comp_min[r]) for v, r in roots.items()], out_schema
+        )
     # Seeded init: label(u) = min(u, min neighbor) — the neighbor-min half
     # of round 1 folded into the vertex-set construction. Costs the same
     # single shuffle as the old distinct-vertices + identity init (groupBy

@@ -17,7 +17,14 @@ from data_transform_make_spark.plans.training_corpus import (
 def _cc(spark, edges, **kw):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     out = connected_components(df, **kw)
-    return {r["id"]: r["cluster_id"] for r in out.collect()}
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+    if "small_graph_threshold" not in kw:
+        # these graphs sit under the default threshold, so `out` took the
+        # driver union-find fast path; force the distributed fixpoint too
+        # and require the identical result — every call covers BOTH paths
+        dist = connected_components(df, small_graph_threshold=0, **kw)
+        assert {r["id"]: r["cluster_id"] for r in dist.collect()} == got
+    return got
 
 
 class TestConnectedComponents:
