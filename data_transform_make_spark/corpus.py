@@ -1379,10 +1379,19 @@ def bm25_1_query_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id + 1000000, 'brand new document'
       FROM documents WHERE doc_id % 19 = 0
     ), oh AS (
-      SELECT doc_id, sha256(concat_ws(chr(31), CAST(text AS VARCHAR))) AS h
+      -- mirror the engine's injective per-column encoding: NULL -> \x00,
+      -- value v -> \x01 || v (raw concat_ws skips NULLs, conflating
+      -- NULL with '' and letting values shift across columns)
+      SELECT doc_id,
+             sha256(concat_ws(chr(31),
+               CASE WHEN text IS NULL THEN chr(0)
+                    ELSE chr(1) || CAST(text AS VARCHAR) END)) AS h
       FROM old
     ), nh AS (
-      SELECT doc_id, sha256(concat_ws(chr(31), CAST(text AS VARCHAR))) AS h
+      SELECT doc_id,
+             sha256(concat_ws(chr(31),
+               CASE WHEN text IS NULL THEN chr(0)
+                    ELSE chr(1) || CAST(text AS VARCHAR) END)) AS h
       FROM newt
     )
     SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id,

@@ -126,13 +126,20 @@ def paragraph_dedup(
     Deterministic under any partitioning: the winner is a global min over
     the ``(id, pos)`` total order. Output: ``(id, text, n_paras)`` — one
     row per document that retains at least one paragraph; ``n_paras`` is
-    the surviving-paragraph count (LONG). ``sep`` is passed to
-    ``F.split`` and is therefore a Java REGEX — the default (two literal
-    newlines) is regex-safe; escape metacharacters in custom separators.
+    the surviving-paragraph count (LONG). ``sep`` is a LITERAL string on
+    both sides — quoted with ``\\Q…\\E`` for the regex-based split and
+    reused verbatim in the reassembly join, so a separator containing
+    regex metacharacters (``|``, ``.``) splits and rejoins consistently.
+    (Separators containing the two-character sequence ``\\E`` would break
+    the quoting and are rejected.)
     """
+    if "\\E" in sep:
+        raise ValueError(r"paragraph_dedup: sep must not contain \E")
     paras = df.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("pos", "para"),
     ).filter(F.length(F.trim(F.col("para"))) > 0)
     winners = keep_min_by(
         paras, [F.md5(F.col("para")).alias("__ph")], [id_col, "pos"]

@@ -44,20 +44,28 @@ def snapshot_diff(
     Output: ``(id, status)`` with status in ``added`` (new only),
     ``removed`` (old only), ``changed`` (both, content hash differs),
     ``unchanged``. Content equality is sha2-256 over the
-    unit-separator-joined string casts of ``content_cols`` (NULL fields
-    hash as empty — ``concat_ws`` skips them).
+    unit-separator-joined PER-COLUMN ENCODINGS: NULL encodes as ``\\x00``
+    and a value ``v`` as ``\\x01`` + str(v) — injective per column, and
+    every column contributes exactly one separator-delimited field, so a
+    NULL never swallows its separator (``concat_ws`` skips raw NULLs,
+    which would make ``('x', NULL)`` vs ``(NULL, 'x')`` and ``NULL`` vs
+    ``''`` hash identical and silently misclassify real changes as
+    ``unchanged``).
     """
     if not content_cols:
         raise ValueError("snapshot_diff: need at least one content column")
+
+    def _enc(c: str):
+        col = F.col(c).cast("string")
+        return F.when(col.isNull(), F.lit("\x00")).otherwise(
+            F.concat(F.lit("\x01"), col)
+        )
 
     def _h(df: DataFrame, alias: str) -> DataFrame:
         return df.select(
             id_col,
             F.sha2(
-                F.concat_ws(
-                    _SEP, *[F.col(c).cast("string") for c in content_cols]
-                ),
-                256,
+                F.concat_ws(_SEP, *[_enc(c) for c in content_cols]), 256
             ).alias(alias),
         )
 

@@ -102,7 +102,14 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # an edge with a NULL endpoint carries no adjacency information —
+    # dropped up front so BOTH paths see the same graph (the driver
+    # union-find would otherwise crash comparing None with ints, while
+    # joins silently never match NULL keys: a crash-vs-result divergence
+    # decided by nothing but edge count)
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
     edges = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()

@@ -70,7 +70,7 @@ def profile_columns(
         counts = stacked.groupBy("col_name", "val").agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        return counts.groupBy("col_name").agg(
+        report = counts.groupBy("col_name").agg(
             F.sum("cnt").alias("n_rows"),
             F.coalesce(
                 F.sum(F.when(F.col("val").isNull(), F.col("cnt"))), F.lit(0)
@@ -78,6 +78,28 @@ def profile_columns(
             F.count("val").alias("n_distinct"),
             F.min("val").alias("min_val"),
             F.max("val").alias("max_val"),
+        )
+        # contract parity with the approx path: an EMPTY input still
+        # yields one row per audited column (n_rows = 0), instead of an
+        # empty report that silently loses the "column was audited"
+        # signal. The seed is k literal rows joined broadcast — free.
+        seed = (
+            df.sparkSession.range(1)
+            .select(
+                F.explode(
+                    F.array(*[F.lit(c) for c in cols])
+                ).alias("col_name")
+            )
+        )
+        return seed.join(report, "col_name", "left").select(
+            "col_name",
+            F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce("n_nulls", F.lit(0)).cast("long").alias("n_nulls"),
+            F.coalesce("n_distinct", F.lit(0))
+            .cast("long")
+            .alias("n_distinct"),
+            "min_val",
+            "max_val",
         )
     # approximate: ONE aggregate computes every column's stats side by
     # side in a single pass (5k aggregate expressions for k columns, all

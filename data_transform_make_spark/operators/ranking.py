@@ -55,12 +55,20 @@ def bm25_topk(
 
     Output: ``(id, dl, tf_<term>..., score)`` ordered by
     ``(score DESC, id)``. ``dl`` is the whitespace-token document length;
-    blank/NULL documents score 0 for every term (tf = 0, and the length
-    normalization stays finite because ``1 - b > 0``).
+    blank and NULL documents are treated as EMPTY (dl = 0, every tf = 0,
+    score exactly 0.0 — the length normalization stays finite because
+    ``1 - b > 0``) and they count toward N and the average length like
+    any other empty document — never NULL scores, never an inflated idf
+    from rows excluded on one side of the stats only.
     """
     if not query_terms:
         raise ValueError("bm25_topk: need at least one query term")
-    tk = tokens(F.col(text_col))
+    # coalesce: tokens(NULL text) is NULL, and a NULL token array would
+    # poison dl/tf (NULL, or -1 under legacy sizeOfNull) and surface
+    # NULL-scored rows in the top-k
+    tk = F.coalesce(
+        tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
 
     # NB: the closure must be built by a helper, not `lambda x, t=t: ...` —
     # F.filter dispatches on the lambda's ARITY, and a defaulted second

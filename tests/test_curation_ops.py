@@ -603,3 +603,23 @@ class TestStratifiedSample:
         )
         got = sorted((r.lang, r.doc_id) for r in stratified_sample(docs, 5).collect())
         assert got == [("en", 1), ("en", 2), ("zz", 3)]
+
+
+class TestNullEdgeEndpoints:
+    def test_null_endpoints_dropped_identically_on_both_paths(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, None), (None, 5), (None, None), (7, 8)],
+            "id_a long, id_b long",
+        )
+        want = {1: 1, 2: 1, 7: 7, 8: 7}
+        fast = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(edges).collect()
+        }
+        dist = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                edges, small_graph_threshold=0
+            ).collect()
+        }
+        assert fast == want and dist == want

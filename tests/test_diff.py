@@ -46,3 +46,17 @@ def test_empty_content_cols_rejected(spark):
     df = spark.createDataFrame([(1, "x")], "id long, text string")
     with pytest.raises(ValueError):
         snapshot_diff(df, df, "id", [])
+
+
+def test_null_shift_and_null_vs_empty_are_changed(spark):
+    """Per-column injective encoding: a value moving between columns, or
+    NULL becoming '', must classify as changed (raw concat_ws would
+    conflate both)."""
+    old = spark.createDataFrame(
+        [(1, "x", None), (2, None, None)], "id long, a string, b string"
+    )
+    new = spark.createDataFrame(
+        [(1, None, "x"), (2, "", None)], "id long, a string, b string"
+    )
+    out = {r.id: r.status for r in snapshot_diff(old, new, "id", ["a", "b"]).collect()}
+    assert out == {1: "changed", 2: "changed"}

@@ -70,3 +70,16 @@ def test_approx_profile_matches_exact_within_tolerance(spark, sf_dir):
 def test_empty_cols_rejected(frame):
     with pytest.raises(ValueError):
         profile_columns(frame, [])
+
+
+def test_empty_frame_yields_zero_rows_per_column_both_paths(spark):
+    """Contract parity: an empty input still reports every audited column
+    with n_rows=0 on BOTH paths."""
+    df = spark.createDataFrame([], "id long, cat string")
+    for exact in (True, False):
+        out = _by_col(profile_columns(df, ["cat", "id"], exact=exact))
+        assert set(out) == {"cat", "id"}, f"exact={exact}"
+        for c in ("cat", "id"):
+            r = out[c]
+            assert (r.n_rows, r.n_nulls, r.n_distinct) == (0, 0, 0)
+            assert r.min_val is None and r.max_val is None

@@ -61,3 +61,19 @@ def test_bm25_rejects_empty_terms(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_topk(docs, "doc_id", "text", [])
+
+
+def test_bm25_null_and_blank_docs_score_zero_and_count_in_stats(spark):
+    """NULL/blank text = empty document: score exactly 0.0 (never NULL),
+    included in N and avgdl like any empty doc."""
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog dog"), (3, "cat"), (4, None), (5, " ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bm25_topk(docs, "doc_id", "text", ["cat"], k=10).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[4].score == 0.0 and out[5].score == 0.0
+    assert out[4].dl == 0 and out[4].tf_cat == 0
+    # N=5, sumdl=6 -> avgdl=1.2; df=2 -> idf=(5-2+0.5)/(2+0.5)=1.4
+    s3 = 1.4 * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * (1 / 1.2)))
+    assert out[3].score == pytest.approx(s3, abs=1e-12)

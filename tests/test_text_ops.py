@@ -339,3 +339,22 @@ def test_paragraph_dedup_matches_python_reference_property(spark):
         assert got == ref(texts)
 
     check()
+
+
+def test_paragraph_dedup_regex_metacharacter_separator(spark):
+    """sep is a literal on both the split and the join side."""
+    from data_transform_make_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "aa|bb|aa|cc"), (2, "bb|dd")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.text, r.n_paras)
+        for r in paragraph_dedup(docs, "doc_id", "text", sep="|").collect()
+    }
+    assert out == {1: ("aa|bb|cc", 3), 2: ("dd", 1)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        paragraph_dedup(docs, "doc_id", "text", sep="a\\Eb")
