@@ -3223,6 +3223,38 @@ def w7_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("cr1_compression_ratio")  # zlib has no SQL twin: rows-only by
+# nature (the mm-stub class); the KERNEL is certified exactly — the unit
+# test compares every ratio to a direct python-zlib reference
+def cr1_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (functions/text.py
+    compression_ratio): the fourth classic web-curation gate next to
+    ta3's length/punct/stopword score, ta5's repetition stats and lm1's
+    unigram LM score — repetitive/templated text compresses below ~0.4,
+    natural prose ~0.5-0.7, random noise approaches 1.0, so one number
+    flags both failure modes. Arrow-batched pandas_udf (one C zlib call
+    per doc per batch, no per-row Python dispatch) — map-only, scan-speed
+    bound at 100 TB; level=1 trades ~3x scan throughput for the same
+    gate ordering. Output bucketed to a per-band count report so the
+    driver row is stable and small."""
+    from .functions.text import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = compression_ratio("text")
+    return (
+        docs.select(
+            F.when(ratio < 0.3, F.lit("templated"))
+            .when(ratio < 0.45, F.lit("repetitive"))
+            .when(ratio < 0.75, F.lit("prose"))
+            .when(ratio.isNotNull(), F.lit("noise"))
+            .otherwise(F.lit("empty"))
+            .alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 @_register("apx1_sketch_aggs")  # sketch results are estimate-valued: rows-only
 def apx1_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB substitutes for exact distinct/

@@ -469,7 +469,13 @@ class TestReliableCheckpoint:
         edges = spark.createDataFrame(
             [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
         )
-        out = connected_components(edges, checkpoint_dir=str(tmp_path / "ckpt"))
+        # force the distributed rounds: the small-graph driver fast path
+        # would solve this graph without ever touching a checkpoint
+        out = connected_components(
+            edges,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            small_graph_threshold=0,
+        )
         got = {r["id"]: r["cluster_id"] for r in out.collect()}
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
         # the reliable path actually wrote checkpoint data to the dir

@@ -358,3 +358,70 @@ def test_paragraph_dedup_regex_metacharacter_separator(spark):
 
     with _pytest.raises(ValueError):
         paragraph_dedup(docs, "doc_id", "text", sep="a\\Eb")
+
+
+class TestCompressionRatio:
+    def test_exact_python_zlib_reference(self, spark):
+        """Every ratio equals the direct python-zlib computation — the
+        certification that replaces a SQL twin (the oracle engine has no
+        zlib)."""
+        import zlib
+
+        from data_transform_make_spark.functions.text import compression_ratio
+
+        rows = [
+            (1, "word " * 200),                      # highly repetitive
+            (2, "The quick brown fox jumps over the lazy dog. " * 5),
+            (3, "kq9#xZ!m2@Lp8&vR4^sT6*wN0$jB"),     # noise-like
+            (4, None),
+            (5, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.ratio
+            for r in docs.select(
+                "doc_id", compression_ratio("text").alias("ratio")
+            ).collect()
+        }
+
+        def ref(t):
+            if not t:
+                return None
+            b = t.encode("utf-8")
+            return len(zlib.compress(b, 6)) / len(b)
+
+        for doc_id, text in rows:
+            assert got[doc_id] == ref(text), doc_id
+
+    def test_signal_ordering(self, spark):
+        """Repetitive text compresses below prose, prose below noise —
+        the ordering a threshold gate consumes, at every level."""
+        import random
+
+        from data_transform_make_spark.functions.text import compression_ratio
+
+        rng = random.Random(7)
+        noise = " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789#@!")
+                    for _ in range(8))
+            for _ in range(60)
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "subscribe now " * 100),
+                (2, "The sea rose slowly under a copper sky while the "
+                    "harbor bells counted out the hours for tired sailors. "
+                    * 4),
+                (3, noise),
+            ],
+            "doc_id long, text string",
+        )
+        for level in (1, 6):
+            got = {
+                r.doc_id: r.ratio
+                for r in docs.select(
+                    "doc_id",
+                    compression_ratio("text", level=level).alias("ratio"),
+                ).collect()
+            }
+            assert got[1] < got[2] < got[3], f"level={level}"
