@@ -136,10 +136,10 @@ def p4_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT l_returnflag,
            CAST(SUM(COALESCE(TRY_CAST(NULLIF(regexp_extract(
-                 l_linenumber || l_returnflag, '^\s*([+-]?\d+)', 1), '') AS BIGINT), 0)
+                 l_linenumber || l_returnflag, '^[@JS_WS@]*([+-]?\d+)', 1), '') AS BIGINT), 0)
            ) AS BIGINT) AS parsed_sum,
            CAST(SUM(CASE WHEN NULLIF(regexp_extract(
-                 l_returnflag, '^\s*([+-]?\d+)', 1), '') IS NULL
+                 l_returnflag, '^[@JS_WS@]*([+-]?\d+)', 1), '') IS NULL
                THEN 1 ELSE 0 END) AS BIGINT) AS nan_count
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -3985,9 +3985,15 @@ def oracle_sql() -> dict[str, str]:
 # and all six SQL twins.
 _MULHASH_SPLIT_SQL = _duck_mulhash32("doc_id", 2654435761)
 _MULHASH_MIX_SQL = _duck_mulhash32("doc_id", 2246822507)
+# @JS_WS@: the exact JS-parseInt whitespace class (functions/js_compat.py
+# JS_WS — single source), injected as literal characters into the RE2
+# twin so the oracle and the engine skip the identical set.
+from .functions.js_compat import JS_WS as _JS_WS  # noqa: E402
+
 for _name in list(_ORACLES):
     _ORACLES[_name] = (
         _ORACLES[_name]
         .replace("@MULHASH_SPLIT@", _MULHASH_SPLIT_SQL)
         .replace("@MULHASH_MIX@", _MULHASH_MIX_SQL)
+        .replace("@JS_WS@", _JS_WS)
     )

@@ -20,7 +20,23 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_LEADING_INT = r"^\s*([+-]?\d+)"
+# The EXACT whitespace set JS parseInt skips — StrWhiteSpace ∪
+# LineTerminator (ES2023 §12.2/§12.3): ASCII \t \n \v \f \r SP, plus
+# NBSP, the Zs space separators (OGHAM, EN QUAD…IDEOGRAPHIC SPACE,
+# NARROW NBSP, MMSP), LS/PS, and the FEFF BOM. Neither engine's \s is
+# right: Java/RE2 \s is ASCII-only (misses NBSP etc. — JS trims
+# ' 7' to 7, Java \s yields NaN), while Python's \s ALSO matches
+# the C0 file/group/record/unit separators \x1c-\x1f and \x85, which JS
+# does NOT (found by hypothesis: '\x1f0'). Enumerated literally so the
+# identical class drops into Java regex, RE2 (the DuckDB twin, via the
+# @JS_WS@ substitution in corpus.py), and the Python test reference.
+JS_WS = (
+    "\t\n\x0b\x0c\r "
+    "\u00a0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000\ufeff"
+)
+_LEADING_INT = "^[" + JS_WS + r"]*([+-]?\d+)"
 
 
 def js_parse_int(col: Column | str) -> Column:

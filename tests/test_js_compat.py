@@ -17,7 +17,16 @@ from data_transform_make_spark.functions.js_compat import (
     qty_falsy,
 )
 
-_LEAD = re.compile(r"^\s*([+-]?\d+)")
+# The spec-pinned JS parseInt whitespace class (ES2023 StrWhiteSpace ∪
+# LineTerminator), NOT \s: Python's \s also matches the C0 separators
+# \x1c-\x1f and \x85 — JS does not (hypothesis found '\x1f0': JS yields
+# NaN, a \s-based reference wrongly yielded 0) — while missing nothing
+# JS has that Python lacks. Single-sourced from the engine constant; the
+# property test's independent value is the sign/digit/structure
+# semantics, the set itself is the spec.
+from data_transform_make_spark.functions.js_compat import JS_WS
+
+_LEAD = re.compile("^[" + re.escape(JS_WS) + r"]*([+-]?\d+)")
 
 
 def py_js_parse_int(s):
@@ -28,10 +37,18 @@ def py_js_parse_int(s):
 
 
 def test_js_parse_int_examples(spark):
-    cases = [" 12x", "abc", "", None, "-7", "3.9", "0", "  +42 ", "9 lives", "x9"]
+    cases = [" 12x", "abc", "", None, "-7", "3.9", "0", "  +42 ", "9 lives", "x9",
+             "\u00a07",   # NBSP: JS parseInt trims it (Java \\s would not)
+             "\ufeff8",   # BOM: likewise StrWhiteSpace
+             "\x1f5",     # C0 unit separator: NaN in JS (Python \\s matches!)
+             "\x855"]     # NEL: NaN in JS
     df = spark.createDataFrame([(c,) for c in cases], "s string")
     got = [r.v for r in df.select(js_parse_int("s").alias("v")).collect()]
     assert got == [py_js_parse_int(c) for c in cases]
+    # and against hand-checked JS parseInt outputs, independent of the
+    # shared JS_WS constant (verified in a JS engine)
+    assert got == [12, None, None, None, -7, 3, 0, 42, 9, None,
+                   7, 8, None, None]
 
 
 @settings(max_examples=20, deadline=None)
