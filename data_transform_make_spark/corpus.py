@@ -45,7 +45,7 @@ from .operators.dedup import (
 from .operators.joins import as_of_join, bucketed_range_join
 from .operators.similarity import brute_force_topk, lsh_bucket_topk
 from .operators.windows import sessionize, top_k_per_group
-from .plans.training_corpus import SAMP_MULT
+from .plans.training_corpus import MIX_MULT, SAMP_MULT, SPLIT_MULT
 from .sources.loader import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1379,19 +1379,18 @@ def bm25_1_query_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id + 1000000, 'brand new document'
       FROM documents WHERE doc_id % 19 = 0
     ), oh AS (
-      -- mirror the engine's injective per-column encoding: NULL -> \x00,
-      -- value v -> \x01 || v (raw concat_ws skips NULLs, conflating
-      -- NULL with '' and letting values shift across columns)
+      -- mirror the engine's injective encoding: concat of fixed-width
+      -- per-column digests (sha256(value), all-zeros sentinel for NULL)
+      -- under an outer sha256 — immune to NULL-separator swallowing and
+      -- to values that contain the would-be separator byte
       SELECT doc_id,
-             sha256(concat_ws(chr(31),
-               CASE WHEN text IS NULL THEN chr(0)
-                    ELSE chr(1) || CAST(text AS VARCHAR) END)) AS h
+             sha256(concat(coalesce(sha256(CAST(text AS VARCHAR)),
+                                    repeat('0', 64)))) AS h
       FROM old
     ), nh AS (
       SELECT doc_id,
-             sha256(concat_ws(chr(31),
-               CASE WHEN text IS NULL THEN chr(0)
-                    ELSE chr(1) || CAST(text AS VARCHAR) END)) AS h
+             sha256(concat(coalesce(sha256(CAST(text AS VARCHAR)),
+                                    repeat('0', 64)))) AS h
       FROM newt
     )
     SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id,
@@ -3983,8 +3982,11 @@ def oracle_sql() -> dict[str, str]:
 # Expand the shared mulhash placeholders (see _duck_mulhash32): keeps the
 # overflow-safe decomposition in ONE place across the engine expression
 # and all six SQL twins.
-_MULHASH_SPLIT_SQL = _duck_mulhash32("doc_id", 2654435761)
-_MULHASH_MIX_SQL = _duck_mulhash32("doc_id", 2246822507)
+# single source: the same engine constants drive the SQL twins — a
+# multiplier change in plans/training_corpus.py cannot silently leave
+# the oracles computing the old hash
+_MULHASH_SPLIT_SQL = _duck_mulhash32("doc_id", SPLIT_MULT)
+_MULHASH_MIX_SQL = _duck_mulhash32("doc_id", MIX_MULT)
 # @JS_WS@: the exact JS-parseInt whitespace class (functions/js_compat.py
 # JS_WS — single source), injected as literal characters into the RE2
 # twin so the oracle and the engine skip the identical set.

@@ -25,7 +25,7 @@ Scale notes (the 100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
@@ -743,13 +743,29 @@ def duplicated_span_report(
     gate filters/trims on (the report, not a rewrite — span-level text
     surgery needs the positions, which this frame carries implicitly).
 
-    Scale: the only shuffle is keyed on the span TEXT here (exact, and
-    SQL-twinnable for the oracle); at 100 TB key on ``xxhash64(span)``
-    instead — 8-byte shuffle keys, identical report modulo 2^-64
-    collisions. A celebrity span (boilerplate repeated in millions of
-    docs) concentrates one reducer: AQE skew-split handles the partition;
-    the C(d,2)-style blowup of pair approaches cannot occur at all —
-    output is one row per occurrence, never per pair.
+    Scale (review round 6 — the hot-span hazard): an occurrence is
+    "duplicated" iff it is not the global ``(id, pos)``-first occurrence
+    of its span. The naive form — a ``row_number`` window partitioned by
+    span — puts EVERY occurrence of a celebrity span (boilerplate
+    repeated in millions of docs) on one reducer with no partial
+    aggregation (and AQE skew-split does not apply to window
+    partitions). Instead, two combine-friendly levels:
+
+      1. ``groupBy(span, id)`` → per-doc occurrence count + min position
+         (map-side combined; a hot span's rows are spread across its
+         docs, and within-one-doc repetition is bounded by doc length);
+      2. :func:`keep_min_by` on the span over ``(id, minpos)`` picks the
+         winning doc (map-side combined again), joined back so each
+         ``(span, doc)`` row knows whether it holds the global first
+         occurrence: the winner doc's count contributes ``c - 1`` dups,
+         every other doc's contributes ``c``. The join moves one row per
+         (span, doc), never per occurrence.
+
+    The only wide keys are the span text (exact, SQL-twinnable); at
+    100 TB key on ``xxhash64(span)`` instead — 8-byte keys, identical
+    report modulo 2^-64 collisions. The C(d,2)-style blowup of pair
+    approaches cannot occur at all — no stage ever holds more than one
+    row per (span, doc).
     """
     toks = tokens(F.col(text_col))
     n = F.size(toks)
@@ -764,13 +780,23 @@ def duplicated_span_report(
     occ = _spread(docs, id_col).select(
         F.col(id_col), F.posexplode(spans).alias("__pos", "__span")
     )
-    w = Window.partitionBy("__span").orderBy(F.col(id_col), F.col("__pos"))
-    ranked = occ.withColumn("__rn", F.row_number().over(w))
+    lvl1 = occ.groupBy("__span", id_col).agg(
+        F.count(F.lit(1)).alias("__c"), F.min("__pos").alias("__minpos")
+    )
+    winners = keep_min_by(
+        lvl1, [F.col("__span")], [id_col, "__minpos"]
+    ).select("__span", F.col(id_col).alias("__wid"))
+    flagged = lvl1.join(winners, "__span").withColumn(
+        "__dup",
+        F.when(F.col(id_col) == F.col("__wid"), F.col("__c") - 1).otherwise(
+            F.col("__c")
+        ),
+    )
     return (
-        ranked.groupBy(id_col)
+        flagged.groupBy(id_col)
         .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+            F.sum("__c").alias("n_spans"),
+            F.sum("__dup").alias("n_dup_spans"),
         )
         .select(
             F.col(id_col),

@@ -28,9 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# ASCII unit separator: cannot appear in normal text, so the concat of
-# several content columns cannot alias across column boundaries
-_SEP = "\x1f"
 
 
 def snapshot_diff(
@@ -43,30 +40,30 @@ def snapshot_diff(
 
     Output: ``(id, status)`` with status in ``added`` (new only),
     ``removed`` (old only), ``changed`` (both, content hash differs),
-    ``unchanged``. Content equality is sha2-256 over the
-    unit-separator-joined PER-COLUMN ENCODINGS: NULL encodes as ``\\x00``
-    and a value ``v`` as ``\\x01`` + str(v) — injective per column, and
-    every column contributes exactly one separator-delimited field, so a
-    NULL never swallows its separator (``concat_ws`` skips raw NULLs,
-    which would make ``('x', NULL)`` vs ``(NULL, 'x')`` and ``NULL`` vs
-    ``''`` hash identical and silently misclassify real changes as
-    ``unchanged``).
+    ``unchanged``. Content equality is sha2-256 over the concatenation of
+    PER-COLUMN DIGESTS: each column contributes exactly 64 hex chars —
+    ``sha2(value)`` or the all-zeros sentinel for NULL — so the encoding
+    is injective for ANY byte content. (Separator-joined raw values are
+    not: ``concat_ws`` skips NULLs, conflating ``NULL`` with ``''`` and
+    letting values shift across columns; and a value CONTAINING the
+    separator can realign field boundaries — crawled text routinely
+    carries C0 control bytes. Fixed-width digests close both holes; the
+    NULL sentinel is distinguishable from every real digest up to a
+    2^-256 collision.)
     """
     if not content_cols:
         raise ValueError("snapshot_diff: need at least one content column")
 
     def _enc(c: str):
         col = F.col(c).cast("string")
-        return F.when(col.isNull(), F.lit("\x00")).otherwise(
-            F.concat(F.lit("\x01"), col)
-        )
+        return F.coalesce(F.sha2(col, 256), F.lit("0" * 64))
 
     def _h(df: DataFrame, alias: str) -> DataFrame:
         return df.select(
             id_col,
-            F.sha2(
-                F.concat_ws(_SEP, *[_enc(c) for c in content_cols]), 256
-            ).alias(alias),
+            F.sha2(F.concat(*[_enc(c) for c in content_cols]), 256).alias(
+                alias
+            ),
         )
 
     j = _h(old, "__h_old").join(_h(new, "__h_new"), id_col, "full_outer")

@@ -63,6 +63,8 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("bm25_topk: need at least one query term")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("bm25_topk: query terms must be distinct")
     # coalesce: tokens(NULL text) is NULL, and a NULL token array would
     # poison dl/tf (NULL, or -1 under legacy sizeOfNull) and surface
     # NULL-scored rows in the top-k
@@ -78,9 +80,13 @@ def bm25_topk(
         lit = F.lit(term)
         return lambda x: x == lit
 
+    # internal columns are keyed by term INDEX, never by the term text:
+    # F.col(f"tf_{term}") would parse a dotted term ('node.js') as a
+    # nested-field access and blow up at analysis; the caller-facing
+    # tf_<term> names appear only as output aliases, which are literal
     tf_cols = [
-        F.size(F.filter(tk, _eq(t))).cast("long").alias(f"tf_{t}")
-        for t in query_terms
+        F.size(F.filter(tk, _eq(t))).cast("long").alias(f"__tf_{i}")
+        for i, t in enumerate(query_terms)
     ]
     base = df.select(
         F.col(id_col), F.size(tk).cast("long").alias("dl"), *tf_cols
@@ -91,9 +97,9 @@ def bm25_topk(
         F.sum("dl").alias("__sumdl"),
         *[
             F.coalesce(
-                F.sum(F.when(F.col(f"tf_{t}") > 0, F.lit(1))), F.lit(0)
-            ).alias(f"__df_{t}")
-            for t in query_terms
+                F.sum(F.when(F.col(f"__tf_{i}") > 0, F.lit(1))), F.lit(0)
+            ).alias(f"__df_{i}")
+            for i in range(len(query_terms))
         ],
     )
 
@@ -107,10 +113,10 @@ def bm25_topk(
         F.col("__sumdl").cast("double") / F.col("__n").cast("double")
     )
     score = None
-    for t in query_terms:
-        tf = F.col(f"tf_{t}").cast("double")
-        idf = (F.col("__n") - F.col(f"__df_{t}") + F.lit(0.5)) / (
-            F.col(f"__df_{t}") + F.lit(0.5)
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        idf = (F.col("__n") - F.col(f"__df_{i}") + F.lit(0.5)) / (
+            F.col(f"__df_{i}") + F.lit(0.5)
         )
         s = idf * (
             (tf * F.lit(k1p1))
@@ -120,7 +126,12 @@ def bm25_topk(
 
     return (
         j.select(
-            id_col, "dl", *[f"tf_{t}" for t in query_terms],
+            id_col,
+            "dl",
+            *[
+                F.col(f"__tf_{i}").alias(f"tf_{t}")
+                for i, t in enumerate(query_terms)
+            ],
             score.alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col(id_col))

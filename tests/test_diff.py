@@ -60,3 +60,18 @@ def test_null_shift_and_null_vs_empty_are_changed(spark):
     )
     out = {r.id: r.status for r in snapshot_diff(old, new, "id", ["a", "b"]).collect()}
     assert out == {1: "changed", 2: "changed"}
+
+
+def test_separator_bytes_in_values_cannot_realign_columns(spark):
+    """Fixed-width per-column digests: values containing would-be
+    separator/control bytes cannot shift content across column
+    boundaries (('a\\x1f\\x01b', 'c') vs ('a', 'b\\x1f\\x01c') is a real
+    change)."""
+    old = spark.createDataFrame(
+        [(1, "a\x1f\x01b", "c")], "id long, x string, y string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "b\x1f\x01c")], "id long, x string, y string"
+    )
+    out = {r.id: r.status for r in snapshot_diff(old, new, "id", ["x", "y"]).collect()}
+    assert out == {1: "changed"}

@@ -77,3 +77,20 @@ def test_bm25_null_and_blank_docs_score_zero_and_count_in_stats(spark):
     # N=5, sumdl=6 -> avgdl=1.2; df=2 -> idf=(5-2+0.5)/(2+0.5)=1.4
     s3 = 1.4 * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * (1 / 1.2)))
     assert out[3].score == pytest.approx(s3, abs=1e-12)
+
+
+def test_bm25_dotted_terms_and_duplicate_rejection(spark):
+    """Terms containing dots are plain tokens, not nested-field paths
+    (internal columns are index-keyed); duplicate terms are rejected."""
+    docs = spark.createDataFrame(
+        [(1, "node.js rocks"), (2, "plain prose here")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, "doc_id", "text", ["node.js"], k=10)
+    assert "tf_node.js" in out.columns
+    by_id = {r.doc_id: r for r in out.collect()}
+    assert by_id[1]["tf_node.js"] == 1 and by_id[2]["tf_node.js"] == 0
+    assert by_id[1].score > 0 and by_id[2].score == 0.0
+
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "doc_id", "text", ["cat", "cat"])

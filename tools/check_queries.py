@@ -8,10 +8,13 @@ Usage: python tools/check_queries.py pack1_token_budget ta5_repetition ...
        (no args = every query that has an oracle)
 """
 import math
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# same portable bootstrap as tools/explain_audit.py: repo root from the
+# file's own location, fixture dir from the env contract
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
@@ -53,7 +56,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    sf = "/root/testdata/sf0.01"
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     for t in [
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
