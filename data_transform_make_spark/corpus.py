@@ -3283,6 +3283,102 @@ _SQL1 = """
 """
 
 
+# Shared by the Spark query AND the DuckDB twin verbatim (both engines
+# implement standard WITH RECURSIVE): depth of every supplier in the
+# synthetic id-halving forest parent(id) = floor(id/2), id >= 1 — the
+# smallest total order that exercises anchor + recursive step + cycle-free
+# termination. Depth is O(log n): each recursion level is ONE hash join
+# of the frontier (the nodes at that depth) against the parent map, so at
+# 100 TB this runs log2(n) ~ 40 bounded joins, frontier rows only.
+_RC1 = """
+    WITH RECURSIVE chain(s_suppkey, depth) AS (
+      SELECT s_suppkey, 1 AS depth FROM supplier WHERE s_suppkey <= 1
+      UNION ALL
+      SELECT s.s_suppkey, c.depth + 1
+      FROM supplier s JOIN chain c
+        -- floor, not a bare CAST of the double quotient: double->int
+        -- casts TRUNCATE in Spark but round-half-even in DuckDB
+        ON CAST(floor(s.s_suppkey / 2) AS BIGINT) = c.s_suppkey
+      WHERE s.s_suppkey > 1
+    )
+    SELECT s_suppkey, depth FROM chain
+"""
+
+
+@_register("rc1_recursive_hierarchy", _RC1)
+def rc1_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): per-node depth in a
+    synthetic parent = floor(id/2) hierarchy over supplier ids — the
+    org-chart/BOM traversal shape SQL recursion exists for, exercised
+    through ``spark.sql`` so the engine's SQL surface covers iteration
+    without hand-rolled driver loops. The IDENTICAL statement is the
+    DuckDB oracle (both engines implement the standard); integer depths,
+    so the comparison is exact. Each recursion level is one
+    frontier-vs-parent-map hash join — depth log2(n), never a closure
+    materialization (the CC operator remains the production path for
+    component-finding; this certifies the SQL-recursion surface)."""
+    from .sources.loader import register_views
+
+    register_views(spark, sf_dir, ("supplier",))
+    return spark.sql(_RC1)
+
+
+@_register(
+    "gf1_calendar_gap_fill",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(date_trunc('day', o_orderdate)) AS DATE) AS d0,
+             CAST(max(date_trunc('day', o_orderdate)) AS DATE) AS d1
+      FROM orders
+    ), days AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL '1' DAY)) AS DATE)
+               AS day
+      FROM bounds
+    ), per_day AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(days.day AS VARCHAR) AS day,
+           CAST(coalesce(per_day.n, 0) AS BIGINT) AS n_orders
+    FROM days LEFT JOIN per_day ON days.day = per_day.day
+    """,
+)
+def gf1_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a CONTINUOUS calendar over the order-date
+    range with zero-filled counts — dashboards and window functions both
+    break on missing days, so materializing the dense axis is a core
+    time-series op. Spark-first shape: the day axis is
+    ``sequence(min_day, max_day, interval 1 day)`` + ``explode`` off a
+    single-row bounds aggregate — generated, not stored, and broadcast
+    (one row → ~thousands) to the left join against the per-day counts;
+    no driver loop, no recursive CTE needed for a regular series. At
+    100 TB the axis is still only O(days) rows — the fill join
+    broadcasts the AXIS, and the per-day aggregate is map-side combined
+    on the date key."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date(F.date_trunc("day", "o_orderdate"))).alias("d0"),
+        F.max(F.to_date(F.date_trunc("day", "o_orderdate"))).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    per_day = orders.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        F.broadcast(days)
+        .join(per_day, "day", "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
+
+
 @_register("sql1_raw_sql", _SQL1)
 def sql1_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw ANSI-SQL entry point: the exact oracle SQL string runs through

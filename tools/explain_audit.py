@@ -47,7 +47,10 @@ ALLOW_CARTESIAN = {
 SKIP = {"st1_stream_window_agg", "st2_stream_dedup", "st3_stream_stateful_counters",
         "st4_stream_stream_join", "st5_stream_session_window",
         "st6_stream_ingest_routing", "st7_stream_static_join",
-        "st8_stream_hopping_window", "mm2_media_decode"}
+        "st8_stream_hopping_window", "mm2_media_decode",
+        # WITH RECURSIVE executes as an iterative UnionLoop of local
+        # plans — no WholeStageCodegen span exists by construction
+        "rc1_recursive_hierarchy"}
 
 
 def audit(name: str, plan: str) -> list[str]:
