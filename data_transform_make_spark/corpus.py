@@ -3976,11 +3976,11 @@ def ll3_training_corpus_capped(spark: SparkSession, sf_dir: str, eager: bool = T
 # r2 rows, expressions exercised by in-window pipelines) and w5/mm1/mm3
 # (displaced late-r6 by the new par1/dq1/bm25_1 — top-k held by w2's r5
 # row + bm25_1's TakeOrderedAndProject, multimodal by the in-window
-# mm2b/mm4b twins). The late-r6 additions diff1/hop1/unp1/st8 (and the
-# rows-only cr1) did not fit — the 50 slots were spoken for by the
-# re-certification mandate; they are check_queries + full-sim certified
-# this round and FRONT THE R7 WINDOW. Keys and query bodies are NEVER
-# changed by rotation — only dict order.
+# mm2b/mm4b twins). The late-r6 additions diff1/hop1/unp1/st8/rc1/gf1
+# (and the rows-only cr1) did not fit — the 50 slots were spoken for by
+# the re-certification mandate; they are check_queries + full-sim
+# certified this round and FRONT THE R7 WINDOW. Keys and query bodies
+# are NEVER changed by rotation — only dict order.
 _DRIVER_WINDOW = [
     # core anchors (certified every round)
     "p1_status_gate",
