@@ -236,6 +236,7 @@ def _checkpointed_state_pipeline(
     inventory: DataFrame,
     apply_fn,
     state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """foreachBatch with a parquet-checkpointed state carry — the Delta-less
     MERGE-per-batch emulation.
@@ -250,6 +251,13 @@ def _checkpointed_state_pipeline(
     epochs live at any instant. With Delta jars present the write/read pair
     collapses to ``MERGE INTO`` on one target table; the call sites are
     unchanged.
+
+    ``checkpoint_dir``: a Structured Streaming ``checkpointLocation``.
+    With it, source offsets are committed durably — a RESTARTED run over
+    the same source (pass the previous post-state as ``inventory``)
+    processes only data that arrived since, never double-applying an
+    already-consumed batch: the webhook-retry double-apply hazard with
+    restart included. Without it each run is a fresh full pass.
     """
     import os
     import shutil
@@ -271,11 +279,12 @@ def _checkpointed_state_pipeline(
         if prev is not None:  # fully consumed by the write just completed
             shutil.rmtree(prev, ignore_errors=True)
 
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(apply_batch).trigger(
+        availableNow=True
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     q.processAllAvailable()
     q.stop()
     q.awaitTermination(30)
@@ -311,6 +320,7 @@ def streaming_order_pipeline(
     webhooks_stream: DataFrame,
     inventory: DataFrame,
     state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """§3.1 as a stream: foreachBatch applies the batch order pipeline per
     micro-batch and MERGEs the post-state into a parquet-checkpointed
@@ -327,6 +337,7 @@ def streaming_order_pipeline(
         inventory,
         lambda batch, inv: order_webhook_pipeline(batch, inv).updated_inventory,
         state_dir,
+        checkpoint_dir,
     )
 
 

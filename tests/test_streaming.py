@@ -334,3 +334,49 @@ def test_stream_hopping_window_matches_batch_expansion(spark, sf_dir):
     }
     assert got == want and len(got) > 0
     assert sum(n for _, _, n in got) == 2 * ev.count()
+
+
+def test_streaming_order_pipeline_restart_exactly_once(spark, tmp_path):
+    """Exactly-once across a RESTART: with a Structured Streaming
+    checkpointLocation, a second run over the same source (resuming from
+    the first run's post-state) processes only files that arrived since —
+    the already-consumed webhook is never double-applied."""
+    src = str(tmp_path / "webhooks")
+    cp = str(tmp_path / "cp")
+
+    def stream():
+        return (
+            spark.readStream.schema(WEBHOOKS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    inventory = spark.createDataFrame([("I1", "Tote", 10, 0)], INVENTORY)
+
+    spark.createDataFrame(
+        [(1, "Approved", [("I1", "Tote", "3")])], WEBHOOKS
+    ).coalesce(1).write.mode("append").parquet(src)
+    post1 = streaming_order_pipeline(
+        spark,
+        stream(),
+        inventory,
+        state_dir=str(tmp_path / "s1"),
+        checkpoint_dir=cp,
+    )
+    r1 = {r.inventory_id: r for r in post1.collect()}
+    assert (r1["I1"].general_stock_qty, r1["I1"].qty_office) == (7, 3)
+
+    spark.createDataFrame(
+        [(2, "Approved", [("I1", "Tote", "4")])], WEBHOOKS
+    ).coalesce(1).write.mode("append").parquet(src)
+    post2 = streaming_order_pipeline(
+        spark,
+        stream(),
+        post1,
+        state_dir=str(tmp_path / "s2"),
+        checkpoint_dir=cp,
+    )
+    r2 = {r.inventory_id: r for r in post2.collect()}
+    # order 1 must NOT re-apply: 7-4=3 / 3+4=7 (a double-apply would
+    # give 4-4=0 / 6+4=10)
+    assert (r2["I1"].general_stock_qty, r2["I1"].qty_office) == (3, 7)
