@@ -296,10 +296,12 @@ def streaming_process_pipeline(
     events_stream: DataFrame,
     inventory: DataFrame,
     state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """§3.2 as a stream: foreachBatch applies the batch process pipeline
     (status-transition counter transfer) per micro-batch — the same
-    MERGE-per-batch execution model as :func:`streaming_order_pipeline`.
+    MERGE-per-batch execution model (and the same restart-exactly-once
+    ``checkpoint_dir`` contract) as :func:`streaming_order_pipeline`.
 
     Returns the final inventory post-state after all batches (a lazy scan
     of the last epoch's parquet checkpoint — never driver-materialized).
@@ -312,6 +314,7 @@ def streaming_process_pipeline(
         inventory,
         lambda batch, inv: process_webhook_pipeline(batch, inv).updated_inventory,
         state_dir,
+        checkpoint_dir,
     )
 
 
