@@ -75,3 +75,42 @@ def test_separator_bytes_in_values_cannot_realign_columns(spark):
     )
     out = {r.id: r.status for r in snapshot_diff(old, new, "id", ["x", "y"]).collect()}
     assert out == {1: "changed"}
+
+
+def test_snapshot_diff_matches_set_reference_property(spark):
+    """Hypothesis: the four-way classification equals a direct dict-based
+    reference over random snapshot pairs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    val = st.one_of(st.none(), st.sampled_from(["", "a", "b", "a\x1fb"]))
+    snap = st.dictionaries(st.integers(0, 6), val, max_size=6)
+
+    def ref(old, new):
+        out = {}
+        for i in set(old) | set(new):
+            if i not in old:
+                out[i] = "added"
+            elif i not in new:
+                out[i] = "removed"
+            elif old[i] != new[i]:
+                out[i] = "changed"
+            else:
+                out[i] = "unchanged"
+        return out
+
+    @settings(max_examples=15, deadline=None)
+    @given(snap, snap)
+    def check(old, new):
+        if not old and not new:
+            return
+        mk = lambda d: spark.createDataFrame(  # noqa: E731
+            list(d.items()) or [(None, None)], "id long, text string"
+        ).filter("id IS NOT NULL")
+        got = {
+            r.id: r.status
+            for r in snapshot_diff(mk(old), mk(new), "id", ["text"]).collect()
+        }
+        assert got == ref(old, new)
+
+    check()

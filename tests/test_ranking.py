@@ -94,3 +94,39 @@ def test_bm25_dotted_terms_and_duplicate_rejection(spark):
 
     with pytest.raises(ValueError):
         bm25_topk(docs, "doc_id", "text", ["cat", "cat"])
+
+
+def test_bm25_bit_exact_python_reference(spark):
+    """The score expression tree is fixed-fold, so a Python double
+    computation in the SAME operation order must match BIT-EXACTLY —
+    the determinism the SQL twin relies on, certified independently."""
+    docs_rows = [
+        (1, "cat dog cat fish"),
+        (2, "dog dog dog"),
+        (3, "cat"),
+        (4, "fish fish cat dog"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    terms = ["cat", "fish"]
+    got = {
+        r.doc_id: r.score
+        for r in bm25_topk(docs, "doc_id", "text", terms, k=10).collect()
+    }
+
+    toks = {i: t.lower().split() for i, t in docs_rows}
+    dl = {i: float(len(tk)) for i, tk in toks.items()}
+    n = float(len(docs_rows))
+    sumdl = sum(dl.values())
+    k1, b = 1.2, 0.75
+    k1p1, one_minus_b = k1 + 1.0, 1.0 - b
+    for i, tk in toks.items():
+        score = None
+        for term in terms:
+            tf = float(tk.count(term))
+            df = float(sum(1 for t2 in toks.values() if term in t2))
+            idf = (n - df + 0.5) / (df + 0.5)
+            ratio = dl[i] / (sumdl / n)
+            s = idf * ((tf * k1p1) / (tf + k1 * (one_minus_b + b * ratio)))
+            score = s if score is None else score + s
+        assert got[i] == score, i  # EXACT equality, no approx
