@@ -3316,7 +3316,12 @@ def rc1_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the comparison is exact. Each recursion level is one
     frontier-vs-parent-map hash join — depth log2(n), never a closure
     materialization (the CC operator remains the production path for
-    component-finding; this certifies the SQL-recursion surface)."""
+    component-finding; this certifies the SQL-recursion surface).
+    Scale caveat (review, late r6): Spark caps ACCUMULATED recursive
+    output via spark.sql.cteRecursionRowLimit — 1M rows by default,
+    which a hierarchy over a >1M-row table exceeds even at log depth;
+    the engine session raises it to 2^31-1 (session.py), and on a
+    vanilla session this query is fixture-scale only."""
     from .sources.loader import register_views
 
     register_views(spark, sf_dir, ("supplier",))
@@ -3348,34 +3353,39 @@ def gf1_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill: a CONTINUOUS calendar over the order-date
     range with zero-filled counts — dashboards and window functions both
     break on missing days, so materializing the dense axis is a core
-    time-series op. Spark-first shape: the day axis is
-    ``sequence(min_day, max_day, interval 1 day)`` + ``explode`` off a
-    single-row bounds aggregate — generated, not stored, and broadcast
-    (one row → ~thousands) to the left join against the per-day counts;
-    no driver loop, no recursive CTE needed for a regular series. At
-    100 TB the axis is still only O(days) rows — the fill join
-    broadcasts the AXIS, and the per-day aggregate is map-side combined
-    on the date key."""
+    time-series op. Spark-first shape (tightened in the late-r6 review):
+    the fact table is scanned ONCE — the map-side-combined per-day
+    aggregate is localCheckpoint'd at O(days) rows, and BOTH the bounds
+    (min/max day derive from the aggregate, not from a second fact scan)
+    and the fill join read that checkpoint. The axis is
+    ``sequence(d0, d1, interval 1 day)`` + ``explode`` — generated,
+    never stored — and the join BROADCASTS THE COUNTS (the axis is the
+    row-preserving side of the left join, which Spark cannot broadcast —
+    a hint there is silently dropped; the aggregate side is equally
+    O(days) and BuildRight-legal). No driver loop, no recursion for a
+    regular series."""
     orders = load_table(spark, sf_dir, "orders")
-    bounds = orders.agg(
-        F.min(F.to_date(F.date_trunc("day", "o_orderdate"))).alias("d0"),
-        F.max(F.to_date(F.date_trunc("day", "o_orderdate"))).alias("d1"),
+    per_day = (
+        orders.groupBy(
+            F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        # one fact scan total: the tiny aggregate is materialized once
+        # and re-read by both consumers (bounds + fill join); a plain
+        # two-consumer lineage would re-scan orders per consumer
+        .localCheckpoint(eager=True)
+    )
+    bounds = per_day.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
     )
     days = bounds.select(
         F.explode(
             F.sequence("d0", "d1", F.expr("interval 1 day"))
         ).alias("day")
     )
-    per_day = orders.groupBy(
-        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    return (
-        F.broadcast(days)
-        .join(per_day, "day", "left")
-        .select(
-            F.col("day").cast("string").alias("day"),
-            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
-        )
+    return days.join(F.broadcast(per_day), "day", "left").select(
+        F.col("day").cast("string").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
     )
 
 

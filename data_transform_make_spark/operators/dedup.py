@@ -25,7 +25,7 @@ Scale notes (the 100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
@@ -753,16 +753,20 @@ def duplicated_span_report(
 
       1. ``groupBy(span, id)`` → per-doc occurrence count + min position
          (map-side combined; a hot span's rows are spread across its
-         docs, and within-one-doc repetition is bounded by doc length —
-         THIS level is what bounds the skew);
-      2. a ``min(struct(id, minpos))`` window over the span picks the
-         global first occurrence per span on the pre-aggregated rows —
-         one row per (span, doc), never per occurrence, so a celebrity
-         span costs its DOC count on one task, not its occurrence count
-         (an unordered window aggregate: no sort, and one fewer shuffle
-         than a winner self-join, measured 1.2 → ~0.6 s at sf0.1). The
-         winner doc's count contributes ``c - 1`` dups, every other
-         doc's contributes ``c``.
+         docs, and within-one-doc repetition is bounded by doc length);
+      2. :func:`keep_min_by` on the span picks the global first
+         occurrence per span — map-side combined again, so even the
+         celebrity span's (span, doc) rows collapse to ~one candidate
+         per map partition before the exchange;
+      3. the dup arithmetic needs NO span-keyed redistribution at all:
+         per doc, ``n_dup = n_spans − n_wins`` — total spans from a
+         MAP-ONLY ``size(spans)`` projection, wins by counting the
+         winner rows per doc (doc-keyed aggregate of the already-small
+         winner set). No window over the span, no span join — the two
+         shapes that would re-concentrate a celebrity span's rows on one
+         task (windows get no partial aggregation and no AQE skew
+         split; a span-keyed sort-merge join routes every matching row
+         to one partition).
 
     The only wide keys are the span text (exact, SQL-twinnable); at
     100 TB key on ``xxhash64(span)`` instead — 8-byte keys, identical
@@ -780,23 +784,33 @@ def duplicated_span_report(
     spans = F.transform(
         starts, lambda i: F.concat_ws(" ", F.slice(toks, i, window))
     )
-    occ = _spread(docs, id_col).select(
+    spread = _spread(docs, id_col)
+    occ = spread.select(
         F.col(id_col), F.posexplode(spans).alias("__pos", "__span")
     )
     lvl1 = occ.groupBy("__span", id_col).agg(
-        F.count(F.lit(1)).alias("__c"), F.min("__pos").alias("__minpos")
+        F.min("__pos").alias("__minpos")
     )
-    me = F.struct(F.col(id_col), F.col("__minpos"))
-    winner = F.min(me).over(Window.partitionBy("__span"))
-    flagged = lvl1.withColumn(
-        "__dup",
-        F.when(me == winner, F.col("__c") - 1).otherwise(F.col("__c")),
-    )
+    winners = keep_min_by(lvl1, [F.col("__span")], [id_col, "__minpos"])
+    wins = winners.groupBy(id_col).agg(F.count(F.lit(1)).alias("__w"))
+    # n_spans is ARITHMETIC on the token count — never rebuild the span
+    # strings to count them (the string construction is the expensive
+    # map work; rebuilding it for the totals leg measured 4.2 s vs 0.7)
+    totals = spread.select(
+        F.col(id_col),
+        F.when(n >= window, n - window + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_spans"),
+    ).filter(F.col("n_spans") > 0)
     return (
-        flagged.groupBy(id_col)
-        .agg(
-            F.sum("__c").alias("n_spans"),
-            F.sum("__dup").alias("n_dup_spans"),
+        totals.join(wins, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_spans",
+            (F.col("n_spans") - F.coalesce(F.col("__w"), F.lit(0))).alias(
+                "n_dup_spans"
+            ),
         )
         .select(
             F.col(id_col),

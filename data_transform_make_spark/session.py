@@ -34,6 +34,13 @@ def get_spark(app_name: str = "data_transform_make_spark", cpus: int | None = No
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # recursive CTEs (rc1): Spark caps ACCUMULATED recursive output at
+        # 1M rows by default — a hierarchy query over a >1M-row table
+        # aborts mid-recursion regardless of per-level size. 2^31-1 keeps
+        # the safety valve (runaway recursion still dies) while admitting
+        # real catalog/hierarchy sizes; the level limit (100) is left
+        # alone — log-depth recursions never approach it.
+        .config("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
         # the default 240m JIT code cache fills after ~50 distinct
         # whole-stage-codegen plans in one JVM; once full the JIT stops
         # compiling and HOF-heavy stages (nested transform/slice in the

@@ -255,9 +255,18 @@ def _checkpointed_state_pipeline(
     ``checkpoint_dir``: a Structured Streaming ``checkpointLocation``.
     With it, source offsets are committed durably — a RESTARTED run over
     the same source (pass the previous post-state as ``inventory``)
-    processes only data that arrived since, never double-applying an
-    already-consumed batch: the webhook-retry double-apply hazard with
-    restart included. Without it each run is a fresh full pass.
+    processes only data that arrived since. foreachBatch itself is
+    AT-LEAST-ONCE: a crash between the state write and the offset commit
+    replays that batch on restart — which is why the state write is
+    IDEMPOTENT BY EPOCH ID: a replayed epoch whose ``epoch_<id>`` dir
+    already carries a parquet ``_SUCCESS`` marker is NOT re-applied; its
+    committed post-state is loaded instead (replay delivers the same
+    deterministic batch under the same epoch id, so the stored result
+    IS the replay's result). Together: exactly-once EFFECTS — offsets
+    dedupe cleanly-restarted input, the epoch-keyed write dedupes the
+    crash-replay window. Requires ``state_dir`` to survive restarts
+    alongside the checkpoint. Without ``checkpoint_dir`` each run is a
+    fresh full pass (tests/demos).
     """
     import os
     import shutil
@@ -270,13 +279,25 @@ def _checkpointed_state_pipeline(
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        post = apply_fn(batch_df, state["inventory"])
         path = os.path.join(state_dir, f"epoch_{epoch_id}")
+        # idempotent replay guard: foreachBatch is at-least-once — after
+        # a crash between the write below and the offset commit, Spark
+        # re-delivers the SAME batch under the SAME epoch id. A completed
+        # epoch dir (parquet _SUCCESS marker) means this batch's effects
+        # are already in the stored post-state: load, don't re-apply. A
+        # partial dir without the marker (crash mid-write) falls through
+        # to the overwrite.
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            state["inventory"] = spark.read.parquet(path)
+            state["epoch_path"] = path
+            return
+        post = apply_fn(batch_df, state["inventory"])
         post.write.mode("overwrite").parquet(path)
         prev = state["epoch_path"]
         state["inventory"] = spark.read.parquet(path)
         state["epoch_path"] = path
-        if prev is not None:  # fully consumed by the write just completed
+        if prev is not None and prev != path:
+            # fully consumed by the write just completed
             shutil.rmtree(prev, ignore_errors=True)
 
     writer = stream.writeStream.foreachBatch(apply_batch).trigger(

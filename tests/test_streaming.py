@@ -380,3 +380,38 @@ def test_streaming_order_pipeline_restart_exactly_once(spark, tmp_path):
     # order 1 must NOT re-apply: 7-4=3 / 3+4=7 (a double-apply would
     # give 4-4=0 / 6+4=10)
     assert (r2["I1"].general_stock_qty, r2["I1"].qty_office) == (3, 7)
+
+
+def test_streaming_order_pipeline_crash_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: after a crash between the state
+    write and the offset commit, the SAME batch replays under the SAME
+    epoch id. The epoch-keyed _SUCCESS guard must load the committed
+    post-state instead of re-applying — simulated here by replaying the
+    source against a FRESH checkpoint over the surviving state_dir,
+    with the previous post-state as the resumed inventory."""
+    src = str(tmp_path / "webhooks")
+    state_dir = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, "Approved", [("I1", "Tote", "3")])], WEBHOOKS
+    ).coalesce(1).write.mode("append").parquet(src)
+    inventory = spark.createDataFrame([("I1", "Tote", 10, 0)], INVENTORY)
+
+    def stream():
+        return spark.readStream.schema(WEBHOOKS).parquet(src)
+
+    post1 = streaming_order_pipeline(
+        spark, stream(), inventory,
+        state_dir=state_dir, checkpoint_dir=str(tmp_path / "cp1"),
+    )
+    r1 = {r.inventory_id: r for r in post1.collect()}
+    assert (r1["I1"].general_stock_qty, r1["I1"].qty_office) == (7, 3)
+
+    # replay: fresh checkpoint re-delivers the file as epoch 0 again;
+    # resumed caller passes the stored post-state. Without the guard the
+    # order re-applies (7-3=4 / 3+3=6); with it the state is unchanged.
+    post2 = streaming_order_pipeline(
+        spark, stream(), post1,
+        state_dir=state_dir, checkpoint_dir=str(tmp_path / "cp2"),
+    )
+    r2 = {r.inventory_id: r for r in post2.collect()}
+    assert (r2["I1"].general_stock_qty, r2["I1"].qty_office) == (7, 3)
