@@ -321,8 +321,9 @@ def streaming_process_pipeline(
 ) -> DataFrame:
     """§3.2 as a stream: foreachBatch applies the batch process pipeline
     (status-transition counter transfer) per micro-batch — the same
-    MERGE-per-batch execution model (and the same restart-exactly-once
-    ``checkpoint_dir`` contract) as :func:`streaming_order_pipeline`.
+    MERGE-per-batch execution model (and the same exactly-once-EFFECTS
+    ``checkpoint_dir`` contract — committed offsets + epoch-id-idempotent
+    state write) as :func:`streaming_order_pipeline`.
 
     Returns the final inventory post-state after all batches (a lazy scan
     of the last epoch's parquet checkpoint — never driver-materialized).
