@@ -87,3 +87,49 @@ def test_parse_with_dead_letter_routes_malformed(spark):
     dead = {r.id: r.reject_reason for r in res.dead_letter.collect()}
     assert parsed == {1: 7, 2: 8, 4: None, 5: None, 6: 9, 7: None, 8: 10}
     assert dead == {3: "invalid_json"}
+
+
+def test_observed_ingest_metrics_piggyback_the_action(spark):
+    """S8 observability: the request-log counters ride the SAME pass as
+    the consuming action (df.observe) — values match a hand count, and
+    they are available right after the action with no separate count
+    jobs."""
+    from data_transform_make_spark.sources.ingest import ingest_with_reason
+    from data_transform_make_spark.sources.observability import (
+        observed_ingest_metrics,
+    )
+
+    rows = [
+        (1, '{"k": 7}'),
+        (2, "{bad"),
+        (3, ""),
+        (4, "x" * (5 * 1024 * 1024 + 1)),  # over the 5 MB cap
+        (5, '{"k": 9}'),
+    ]
+    df = spark.createDataFrame(rows, "id long, raw_body string")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    tagged = ingest_with_reason(df, schema)
+    observed, obs = observed_ingest_metrics(tagged)
+
+    out = observed.collect()  # the ONE action; metrics ride along
+    assert len(out) == 5
+    got = obs.get
+    assert got == {
+        "n_requests": 5,
+        "n_parsed": 3,  # ids 1, 3 (empty -> '{}'), 5
+        "n_too_large": 1,
+        "n_invalid_json": 1,
+    }
+
+
+def test_observe_counts_generic(spark):
+    from pyspark.sql import functions as F
+
+    from data_transform_make_spark.sources.observability import observe_counts
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    observed, obs = observe_counts(
+        df, "demo", n=F.count(F.lit(1)), evens=F.count(F.when(F.col("x") % 2 == 0, True))
+    )
+    assert observed.count() == 10
+    assert obs.get == {"n": 10, "evens": 5}
