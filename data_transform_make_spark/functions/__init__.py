@@ -1,5 +1,7 @@
 from .js_compat import default_if_falsy, js_parse_int, js_str_falsy, qty_falsy
 from .text import (
+    clean_lines,
+    compression_ratio,
     doc_fingerprint,
     lang_id,
     punct_ratio,
@@ -13,6 +15,8 @@ from .text import (
 from .vectors import cosine_similarity, dot, l2_norm
 
 __all__ = [
+    "clean_lines",
+    "compression_ratio",
     "default_if_falsy",
     "js_parse_int",
     "js_str_falsy",
