@@ -3349,7 +3349,9 @@ def rc1_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM days LEFT JOIN per_day ON days.day = per_day.day
     """,
 )
-def gf1_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def gf1_calendar_gap_fill(
+    spark: SparkSession, sf_dir: str, eager: bool = True
+) -> DataFrame:
     """Time-series gap fill: a CONTINUOUS calendar over the order-date
     range with zero-filled counts — dashboards and window functions both
     break on missing days, so materializing the dense axis is a core
@@ -3365,16 +3367,17 @@ def gf1_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(days) and BuildRight-legal). No driver loop, no recursion for a
     regular series."""
     orders = load_table(spark, sf_dir, "orders")
-    per_day = (
-        orders.groupBy(
-            F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
+    per_day = orders.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    if eager:
         # one fact scan total: the tiny aggregate is materialized once
         # and re-read by both consumers (bounds + fill join); a plain
-        # two-consumer lineage would re-scan orders per consumer
-        .localCheckpoint(eager=True)
-    )
+        # two-consumer lineage would re-scan orders per consumer.
+        # eager=False (the d3/dec1/ll* audit convention) keeps the
+        # identical composed plan fully lazy so the EXPLAIN audit sees
+        # the real join/broadcast shapes instead of one Scan ExistingRDD.
+        per_day = per_day.localCheckpoint(eager=True)
     bounds = per_day.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )

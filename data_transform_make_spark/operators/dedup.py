@@ -795,8 +795,12 @@ def duplicated_span_report(
     wins = winners.groupBy(id_col).agg(F.count(F.lit(1)).alias("__w"))
     # n_spans is ARITHMETIC on the token count — never rebuild the span
     # strings to count them (the string construction is the expensive
-    # map work; rebuilding it for the totals leg measured 4.2 s vs 0.7)
-    totals = spread.select(
+    # map work; rebuilding it for the totals leg measured 4.2 s vs 0.7).
+    # Directly off `docs`, NOT `spread`: the totals leg needs no
+    # repartition — a _spread here re-shuffles the full corpus text a
+    # second time just to size token arrays, and the id-keyed join below
+    # inserts its own (id, n)-rows-only exchange anyway (review).
+    totals = docs.select(
         F.col(id_col),
         F.when(n >= window, n - window + 1)
         .otherwise(F.lit(0))

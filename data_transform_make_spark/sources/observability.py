@@ -6,9 +6,11 @@ The engine's equivalent must not cost a second scan: ``df.observe``
 attaches aggregate METRICS TO THE PLAN, computed as a by-product of
 whatever action the caller already runs — rows in, dead-letter counts,
 bytes — and surfaced through a named :class:`~pyspark.sql.Observation`
-(batch) or the streaming progress listener (the same API works on
-streaming queries, where the metrics land in each micro-batch's
-``observedMetrics``).
+(batch — :func:`observe_counts`) or, on streaming queries, through the
+NAME-based ``df.observe(name, ...)`` form (:func:`observe_streaming`):
+Spark rejects ``Observation`` objects on streaming Datasets, and the
+streaming metrics instead land in each micro-batch's
+``StreamingQueryProgress.observedMetrics``.
 
 Why not ``df.count()`` side-queries: every standalone count re-runs the
 lineage — at 100 TB a "how many rows did we drop" dashboard query costs
@@ -24,17 +26,37 @@ from pyspark.sql import functions as F
 def observe_counts(
     df: DataFrame, name: str, **metrics: Column
 ) -> tuple[DataFrame, Observation]:
-    """Attach named aggregate metrics to ``df``'s plan.
+    """Attach named aggregate metrics to a BATCH frame's plan.
 
     Returns ``(observed_df, observation)`` — run ANY action on the
     returned frame, then read ``observation.get`` (a dict) for the
     metric values; no additional job is launched for them. ``metrics``
     are aggregate Columns (``F.count``, ``F.sum(F.when(...))``, ...),
     keyed by their metric name.
+
+    ``Observation`` objects are rejected by Spark on streaming Datasets
+    — use :func:`observe_streaming` there (the name-based variant, whose
+    metrics surface per micro-batch instead of per action).
     """
+    if df.isStreaming:
+        raise TypeError(
+            "observe_counts: Observation does not support streaming "
+            "Datasets — use observe_streaming(df, name, **metrics) and "
+            "read each progress's observedMetrics"
+        )
     obs = Observation(name)
     observed = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
     return observed, obs
+
+
+def observe_streaming(df: DataFrame, name: str, **metrics: Column) -> DataFrame:
+    """The streaming form: attach metrics by NAME — Spark publishes them
+    in every micro-batch's ``StreamingQueryProgress.observedMetrics``
+    (``query.lastProgress["observedMetrics"][name]``), the per-batch
+    request log the reference writes to the console. Batch frames can
+    use this form too, but :func:`observe_counts` hands the values back
+    directly."""
+    return df.observe(name, *[c.alias(k) for k, c in metrics.items()])
 
 
 def observed_ingest_metrics(tagged: DataFrame) -> tuple[DataFrame, Observation]:

@@ -286,14 +286,29 @@ def _checkpointed_state_pipeline(
         # epoch dir (parquet _SUCCESS marker) means this batch's effects
         # are already in the stored post-state: load, don't re-apply. A
         # partial dir without the marker (crash mid-write) falls through
-        # to the overwrite.
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
+        # to the overwrite. ONLY with a durable checkpoint: epoch ids are
+        # unique within one checkpoint lineage — without one, every run
+        # restarts at epoch 0, and a leftover state_dir would silently
+        # swallow a fresh run's batches (review, late r6).
+        if checkpoint_dir is not None and os.path.exists(
+            os.path.join(path, "_SUCCESS")
+        ):
             state["inventory"] = spark.read.parquet(path)
             state["epoch_path"] = path
             return
         post = apply_fn(batch_df, state["inventory"])
-        post.write.mode("overwrite").parquet(path)
+        # write-aside + rename, NEVER overwrite `path` in place: the
+        # current inventory may be a lazy scan OF `path` itself (an
+        # uncheckpointed rerun reuses epoch ids, and the resumed caller
+        # passes the previous post-state) — an in-place overwrite deletes
+        # the very files the computation is reading mid-job (review,
+        # late r6: FAILED_READ_FILE repro'd)
+        tmp = path + "__tmp"
+        post.write.mode("overwrite").parquet(tmp)
         prev = state["epoch_path"]
+        if os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
         state["inventory"] = spark.read.parquet(path)
         state["epoch_path"] = path
         if prev is not None and prev != path:

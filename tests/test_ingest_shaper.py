@@ -133,3 +133,48 @@ def test_observe_counts_generic(spark):
     )
     assert observed.count() == 10
     assert obs.get == {"n": 10, "evens": 5}
+
+
+def test_observe_streaming_metrics_per_microbatch(spark, tmp_path):
+    """Streaming S8: Observation objects are rejected on streaming
+    Datasets (observe_counts raises a directing TypeError); the
+    name-based observe_streaming form surfaces the counters in the
+    query's progress observedMetrics."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_transform_make_spark.sources.observability import (
+        observe_counts,
+        observe_streaming,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, "x" * (i % 3)) for i in range(10)], "id long, s string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("id long, s string").parquet(src)
+
+    with pytest.raises(TypeError):
+        observe_counts(stream, "nope", n=F.count(F.lit(1)))
+
+    observed = observe_streaming(
+        stream,
+        "ingest_stream",
+        n=F.count(F.lit(1)),
+        blanks=F.count(F.when(F.length("s") == 0, True)),
+    )
+    q = (
+        observed.writeStream.format("memory")
+        .queryName("obs_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    metrics = [
+        p["observedMetrics"]["ingest_stream"]
+        for p in (q.recentProgress or [])
+        if "ingest_stream" in (p.get("observedMetrics") or {})
+    ]
+    q.stop()
+    assert sum(m["n"] for m in metrics) == 10
+    assert sum(m["blanks"] for m in metrics) == 4  # i % 3 == 0 -> 0,3,6,9

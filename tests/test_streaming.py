@@ -415,3 +415,39 @@ def test_streaming_order_pipeline_crash_replay_idempotent(spark, tmp_path):
     )
     r2 = {r.inventory_id: r for r in post2.collect()}
     assert (r2["I1"].general_stock_qty, r2["I1"].qty_office) == (7, 3)
+
+
+def test_replay_guard_inert_without_checkpoint(spark, tmp_path):
+    """Without a checkpoint, every run restarts at epoch 0 — the replay
+    guard must NOT fire off a leftover state_dir, or a second run's new
+    webhooks would be silently swallowed (review, late r6)."""
+    src1 = str(tmp_path / "w1")
+    src2 = str(tmp_path / "w2")
+    state_dir = str(tmp_path / "state")
+    inventory = spark.createDataFrame([("I1", "Tote", 10, 0)], INVENTORY)
+    spark.createDataFrame(
+        [(1, "Approved", [("I1", "Tote", "3")])], WEBHOOKS
+    ).coalesce(1).write.parquet(src1)
+    spark.createDataFrame(
+        [(2, "Approved", [("I1", "Tote", "4")])], WEBHOOKS
+    ).coalesce(1).write.parquet(src2)
+
+    post1 = streaming_order_pipeline(
+        spark,
+        spark.readStream.schema(WEBHOOKS).parquet(src1),
+        inventory,
+        state_dir=state_dir,
+    )
+    r1 = {r.inventory_id: r for r in post1.collect()}
+    assert (r1["I1"].general_stock_qty, r1["I1"].qty_office) == (7, 3)
+
+    # second, UNCHECKPOINTED run over DIFFERENT data reuses the state_dir:
+    # its batch is also epoch 0, but it must be APPLIED, not skipped
+    post2 = streaming_order_pipeline(
+        spark,
+        spark.readStream.schema(WEBHOOKS).parquet(src2),
+        post1,
+        state_dir=state_dir,
+    )
+    r2 = {r.inventory_id: r for r in post2.collect()}
+    assert (r2["I1"].general_stock_qty, r2["I1"].qty_office) == (3, 7)
