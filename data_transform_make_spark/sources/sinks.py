@@ -128,20 +128,35 @@ def _swap_parquet(df, path: str, tmp_suffix: str) -> None:
     """Write ``df`` beside ``path`` then swap it in — the shared
     read-modify-replace tail of merge_upsert_path and
     compact_small_files. NOT atomic: plain parquet has no transaction
-    log, so the rmtree→rename window is the caller's race to manage
+    log, so the swap window is the caller's race to manage
     (Delta/Iceberg remove it). A failed write leaves no stranded tmp
-    dir and never touches the original."""
+    dir and never touches the original.
+
+    Swap order is delete-LAST (advice, round 6): the old table is
+    renamed aside to ``<path>__old``, the new data renamed into place,
+    and only then is the old copy deleted — a crash anywhere in the
+    window leaves a complete copy of the data under a predictable name
+    (``__old`` before the final delete, ``<tmp_suffix>`` before the
+    swap) instead of the previous rmtree-then-rename sequence, whose
+    crash window held NO copy at ``path`` and no recoverable one
+    either. Renames are same-directory, so the cross-filesystem
+    EXDEV failure mode cannot split the pair."""
     import os
     import shutil
 
-    tmp = path.rstrip("/") + tmp_suffix
+    base = path.rstrip("/")
+    tmp = base + tmp_suffix
+    old = base + "__old"
     try:
         df.write.mode("overwrite").parquet(tmp)
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    # a stranded __old from a previous crashed swap would fail the rename
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old)
 
 
 def write_partitioned(

@@ -265,8 +265,13 @@ def _checkpointed_state_pipeline(
     IS the replay's result). Together: exactly-once EFFECTS — offsets
     dedupe cleanly-restarted input, the epoch-keyed write dedupes the
     crash-replay window. Requires ``state_dir`` to survive restarts
-    alongside the checkpoint. Without ``checkpoint_dir`` each run is a
-    fresh full pass (tests/demos).
+    alongside the checkpoint — and the two are BOUND: the state_dir is
+    stamped with its checkpoint path (``_lineage`` marker) on first use,
+    and a run that pairs it with a different checkpoint (or finds
+    unstamped epoch state) is refused with an error, because epoch ids
+    restart at 0 in a new lineage and stale ``epoch_0`` state would be
+    silently loaded in place of the new run's first batch. Without
+    ``checkpoint_dir`` each run is a fresh full pass (tests/demos).
     """
     import os
     import shutil
@@ -274,6 +279,44 @@ def _checkpointed_state_pipeline(
 
     if state_dir is None:
         state_dir = tempfile.mkdtemp(prefix="dtm_state_")
+    # Lineage binding (advice, round 6): the replay guard below keys on
+    # epoch ids, and epoch ids are only unique WITHIN one checkpoint
+    # lineage — a caller who starts a NEW checkpoint_dir over a surviving
+    # state_dir restarts at epoch 0, and a leftover epoch_0/_SUCCESS from
+    # the old lineage would be loaded as if it were this run's first
+    # batch (silent swallow). The state_dir is therefore stamped with the
+    # checkpoint path it belongs to; a mismatch is refused loudly — the
+    # caller must either reuse the matching checkpoint (a genuine restart)
+    # or point at a fresh/empty state_dir (a genuine new job).
+    if checkpoint_dir is not None:
+        marker = os.path.join(state_dir, "_lineage")
+        lineage = os.path.abspath(checkpoint_dir)
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                bound = fh.read().strip()
+            if bound != lineage:
+                raise ValueError(
+                    f"state_dir {state_dir!r} is bound to checkpoint "
+                    f"lineage {bound!r} but this run uses {lineage!r}; "
+                    "reuse the matching checkpointLocation to restart, or "
+                    "use a fresh state_dir for a new lineage (stale epoch "
+                    "state would otherwise silently replace this run's "
+                    "first batches)"
+                )
+        else:
+            os.makedirs(state_dir, exist_ok=True)
+            stray = [
+                d for d in os.listdir(state_dir) if d.startswith("epoch_")
+            ]
+            if stray:
+                # epoch dirs without a lineage stamp: state left behind by
+                # an uncheckpointed run — same silent-swallow hazard
+                raise ValueError(
+                    f"state_dir {state_dir!r} holds unstamped epoch state "
+                    f"({sorted(stray)[:3]}...); use a fresh state_dir"
+                )
+            with open(marker, "w") as fh:
+                fh.write(lineage)
     state = {"inventory": inventory, "epoch_path": None}
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -289,7 +332,9 @@ def _checkpointed_state_pipeline(
         # to the overwrite. ONLY with a durable checkpoint: epoch ids are
         # unique within one checkpoint lineage — without one, every run
         # restarts at epoch 0, and a leftover state_dir would silently
-        # swallow a fresh run's batches (review, late r6).
+        # swallow a fresh run's batches (review, late r6). The _lineage
+        # stamp above guarantees the dirs seen here belong to THIS
+        # checkpoint lineage, so a _SUCCESS epoch really is a replay.
         if checkpoint_dir is not None and os.path.exists(
             os.path.join(path, "_SUCCESS")
         ):

@@ -550,6 +550,38 @@ class TestDomainMixing:
             for i in ids:
                 assert got[i] == (i * mult) % SPLIT_MOD, (i, mult, got[i])
 
+    def test_mulhash32_sql_twin_agrees_on_negative_ids(self, spark):
+        """The DuckDB twin reduces the id with sign-following %, which
+        went NEGATIVE for negative ids while the engine's F.pmod stayed
+        positive — a silent cross-engine divergence outside the pinned
+        id >= 0 domain (advice, round 6). The twin now forces the same
+        non-negative representative; both engines must agree on EVERY
+        long, negative included."""
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from data_transform_make_spark.corpus import _duck_mulhash32
+        from data_transform_make_spark.plans.training_corpus import (
+            SPLIT_MULT,
+            mulhash32,
+        )
+
+        ids = [-1, -2, -65537, -(2**31), -(2**32) - 7, -(10**12), 0, 1, 5]
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        engine = {
+            r["doc_id"]: r["h"]
+            for r in df.select(
+                "doc_id", mulhash32("doc_id", SPLIT_MULT).alias("h")
+            ).collect()
+        }
+        sql = _duck_mulhash32("doc_id", SPLIT_MULT)
+        con = duckdb.connect()
+        for i in ids:
+            (twin,) = con.execute(
+                f"SELECT {sql} FROM (SELECT CAST({i} AS BIGINT) AS doc_id)"
+            ).fetchone()
+            assert int(twin) == engine[i], (i, twin, engine[i])
+
 
 class TestTokenBudgetPacking:
     def test_strict_prefix_within_budget(self, spark):

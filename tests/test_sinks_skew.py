@@ -74,6 +74,69 @@ def test_merge_upsert_path_delta_when_available(spark, tmp_path):
     _merge_path_fixture(spark, tmp_path, "delta")
 
 
+def test_swap_parquet_leaves_no_residue_on_success(spark, tmp_path):
+    import glob
+    import os
+
+    from data_transform_make_spark.sources.sinks import _swap_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(0, 10).write.parquet(path)
+    _swap_parquet(spark.range(100, 105), path, "__tmp")
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == list(
+        range(100, 105)
+    )
+    assert not os.path.exists(path + "__old") and not glob.glob(path + "__tmp")
+
+
+def test_swap_parquet_crash_window_keeps_a_recoverable_copy(
+    spark, tmp_path, monkeypatch
+):
+    """A crash mid-swap must never leave ZERO copies of the table
+    (advice, round 6: the old rmtree-then-rename order did). The old
+    data is renamed aside BEFORE the new data lands, so a failure of the
+    second rename leaves the original complete under ``<path>__old`` and
+    the new data under the tmp name — both predictable, both whole."""
+    import os
+
+    import pytest
+
+    from data_transform_make_spark.sources.sinks import _swap_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(0, 10).write.parquet(path)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def failing_second_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash between the two renames")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_second_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        _swap_parquet(spark.range(100, 105), path, "__tmp")
+    monkeypatch.undo()
+    # the original table is complete and recoverable at the aside name
+    assert sorted(r.id for r in spark.read.parquet(path + "__old").collect()) == list(
+        range(10)
+    )
+    # the new data survived too, under the tmp name
+    assert sorted(
+        r.id for r in spark.read.parquet(path + "__tmp").collect()
+    ) == list(range(100, 105))
+    # and a rerun of the swap after manual recovery succeeds: a stranded
+    # __old must not wedge the next attempt
+    os.rename(path + "__old", path)
+    import shutil
+
+    shutil.rmtree(path + "__tmp")
+    _swap_parquet(spark.range(7, 9), path, "__tmp")
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [7, 8]
+
+
 def test_salted_sum_equals_plain(spark, sf_dir):
     from data_transform_make_spark.sources.loader import load_table
 

@@ -33,3 +33,19 @@ def test_gap_fill_is_continuous_and_count_preserving(spark, sf_dir):
 
     n_orders = load_table(spark, sf_dir, "orders").count()
     assert sum(r.n_orders for r in rows) == n_orders
+
+
+def test_gap_fill_eager_and_lazy_twins_agree(spark, sf_dir):
+    """gf1(eager=False) exists so the EXPLAIN audit sees the composed
+    join/broadcast plan instead of a Scan ExistingRDD (the d3/dec1/ll*
+    convention). The audited lazy plan and the certified eager plan must
+    return IDENTICAL rows, or the audit convention could drift from the
+    certified query (verdict, round 6)."""
+    eager = sorted(
+        (r.day, r.n_orders) for r in gf1_calendar_gap_fill(spark, sf_dir).collect()
+    )
+    lazy = sorted(
+        (r.day, r.n_orders)
+        for r in gf1_calendar_gap_fill(spark, sf_dir, eager=False).collect()
+    )
+    assert eager == lazy

@@ -386,11 +386,18 @@ def test_streaming_order_pipeline_crash_replay_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: after a crash between the state
     write and the offset commit, the SAME batch replays under the SAME
     epoch id. The epoch-keyed _SUCCESS guard must load the committed
-    post-state instead of re-applying — simulated here by replaying the
-    source against a FRESH checkpoint over the surviving state_dir,
-    with the previous post-state as the resumed inventory."""
+    post-state instead of re-applying — simulated FAITHFULLY (advice,
+    round 7): the batch's entry is deleted from the checkpoint's commit
+    log (offsets/0 stays, commits/0 goes — exactly the on-disk state a
+    crash in that window leaves) and the run restarts on the SAME
+    checkpoint, so Spark itself re-delivers epoch 0. The earlier
+    fresh-checkpoint simulation is now refused by the lineage stamp
+    (see test_replay_guard_refuses_fresh_lineage)."""
+    import os
+
     src = str(tmp_path / "webhooks")
     state_dir = str(tmp_path / "state")
+    cp = str(tmp_path / "cp")
     spark.createDataFrame(
         [(1, "Approved", [("I1", "Tote", "3")])], WEBHOOKS
     ).coalesce(1).write.mode("append").parquet(src)
@@ -401,20 +408,80 @@ def test_streaming_order_pipeline_crash_replay_idempotent(spark, tmp_path):
 
     post1 = streaming_order_pipeline(
         spark, stream(), inventory,
-        state_dir=state_dir, checkpoint_dir=str(tmp_path / "cp1"),
+        state_dir=state_dir, checkpoint_dir=cp,
     )
     r1 = {r.inventory_id: r for r in post1.collect()}
     assert (r1["I1"].general_stock_qty, r1["I1"].qty_office) == (7, 3)
 
-    # replay: fresh checkpoint re-delivers the file as epoch 0 again;
+    # crash window: state written + offsets/0 recorded, commits/0 never
+    # landed — on restart Spark re-delivers the same file as epoch 0
+    os.remove(os.path.join(cp, "commits", "0"))
+    # ChecksumFs keeps a sibling .crc; a stale one fails the rewrite's
+    # rename with a spurious concurrent-modification error
+    crc = os.path.join(cp, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
     # resumed caller passes the stored post-state. Without the guard the
     # order re-applies (7-3=4 / 3+3=6); with it the state is unchanged.
     post2 = streaming_order_pipeline(
         spark, stream(), post1,
-        state_dir=state_dir, checkpoint_dir=str(tmp_path / "cp2"),
+        state_dir=state_dir, checkpoint_dir=cp,
     )
     r2 = {r.inventory_id: r for r in post2.collect()}
     assert (r2["I1"].general_stock_qty, r2["I1"].qty_office) == (7, 3)
+
+
+def test_replay_guard_refuses_fresh_lineage(spark, tmp_path):
+    """A NEW checkpoint lineage over a SURVIVING state_dir restarts epoch
+    ids at 0, so the old lineage's epoch_0/_SUCCESS would be silently
+    loaded in place of the new run's first batch. The lineage stamp must
+    refuse the combination loudly (advice, round 7)."""
+    import pytest
+
+    src = str(tmp_path / "webhooks")
+    state_dir = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, "Approved", [("I1", "Tote", "3")])], WEBHOOKS
+    ).coalesce(1).write.parquet(src)
+    inventory = spark.createDataFrame([("I1", "Tote", 10, 0)], INVENTORY)
+
+    def stream():
+        return spark.readStream.schema(WEBHOOKS).parquet(src)
+
+    streaming_order_pipeline(
+        spark, stream(), inventory,
+        state_dir=state_dir, checkpoint_dir=str(tmp_path / "cp1"),
+    )
+    with pytest.raises(ValueError, match="bound to checkpoint lineage"):
+        streaming_order_pipeline(
+            spark, stream(), inventory,
+            state_dir=state_dir, checkpoint_dir=str(tmp_path / "cp2"),
+        )
+
+
+def test_replay_guard_refuses_unstamped_epoch_state(spark, tmp_path):
+    """Epoch dirs without a lineage stamp (left by an uncheckpointed run)
+    carry the same silent-swallow hazard when a checkpointed run adopts
+    the state_dir — refused up front."""
+    import pytest
+
+    src = str(tmp_path / "webhooks")
+    state_dir = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, "Approved", [("I1", "Tote", "3")])], WEBHOOKS
+    ).coalesce(1).write.parquet(src)
+    inventory = spark.createDataFrame([("I1", "Tote", 10, 0)], INVENTORY)
+
+    def stream():
+        return spark.readStream.schema(WEBHOOKS).parquet(src)
+
+    # uncheckpointed run leaves epoch dirs, no _lineage marker
+    streaming_order_pipeline(spark, stream(), inventory, state_dir=state_dir)
+    with pytest.raises(ValueError, match="unstamped epoch state"):
+        streaming_order_pipeline(
+            spark, stream(), inventory,
+            state_dir=state_dir, checkpoint_dir=str(tmp_path / "cp"),
+        )
 
 
 def test_replay_guard_inert_without_checkpoint(spark, tmp_path):

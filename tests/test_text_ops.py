@@ -393,6 +393,24 @@ class TestCompressionRatio:
         for doc_id, text in rows:
             assert got[doc_id] == ref(text), doc_id
 
+    def test_cr1_plan_evaluates_udf_once(self, spark, sf_dir):
+        """cr1's banding CASE references the ratio 5 times; the ratio is
+        projected once into a named column so the plan carries exactly
+        ONE ArrowEvalPython evaluation of the pandas_udf — the 4-branch
+        CASE over the raw UDF expression could zlib every document up to
+        4x if subtree dedup declined to collapse it (advice, round 6)."""
+        from data_transform_make_spark.corpus import cr1_compression_ratio
+
+        plan = (
+            cr1_compression_ratio(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("ArrowEvalPython") == 1, plan
+        # the pandas_udf prints as its inner function name `_ratio`
+        assert plan.count("_ratio(") == 1, plan
+
     def test_signal_ordering(self, spark):
         """Repetitive text compresses below prose, prose below noise —
         the ordering a threshold gate consumes, at every level."""
