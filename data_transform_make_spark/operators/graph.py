@@ -68,10 +68,14 @@ def connected_components(
     or point ``checkpoint_dir`` at a TTL'd/job-scoped path.
 
     .. warning:: passing ``checkpoint_dir`` calls
-       ``sparkContext.setCheckpointDir`` — SESSION-GLOBAL state. It is only
-       set when it differs from the current value, but two concurrent
-       callers passing different dirs still retarget each other's reliable
-       checkpoints; namespace per-job paths under one shared root instead.
+       ``sparkContext.setCheckpointDir`` — SESSION-GLOBAL state. The call
+       is scoped: a pre-existing checkpoint dir is saved and RESTORED on
+       exit (every per-round cut here is ``eager=True``, so our files are
+       fully written before the restore), and when no dir was set before,
+       ours is only applied when it differs from the last one this module
+       set. Residual hazard: two callers in concurrent threads of one
+       session still interleave inside the call window — namespace
+       per-job paths under one shared root if you need that.
 
     ``small_graph_threshold``: near-dup pair graphs are usually TINY
     relative to the corpus that produced them (a curated corpus yields
@@ -87,6 +91,7 @@ def connected_components(
     identical deterministic output (min reachable id per vertex).
     """
     spark = pairs.sparkSession
+    restore_ckpt: str | None = None
     if checkpoint_dir is not None:
         sc = spark.sparkContext
         # idempotence guard: setCheckpointDir mints a fresh UUID subdir per
@@ -94,6 +99,13 @@ def connected_components(
         # the UUID'd path) is remembered to avoid churning directories on
         # repeated calls with the same root
         if getattr(sc, "_dtm_checkpoint_root", None) != checkpoint_dir:
+            # scope the session-global mutation (advice, rounds 5-6): a
+            # dir someone ELSE set is put back on exit — safe because
+            # every _cut below is eager, so our checkpoint files are on
+            # disk before the restore. (The UUID'd path is restored,
+            # which keeps the other caller's future checkpoints inside
+            # the directory they already own.)
+            restore_ckpt = sc.getCheckpointDir()
             sc.setCheckpointDir(checkpoint_dir)
             sc._dtm_checkpoint_root = checkpoint_dir
 
@@ -102,123 +114,142 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    # an edge with a NULL endpoint carries no adjacency information —
-    # dropped up front so BOTH paths see the same graph (the driver
-    # union-find would otherwise crash comparing None with ints, while
-    # joins silently never match NULL keys: a crash-vs-result divergence
-    # decided by nothing but edge count)
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u").isNotNull() & F.col("v").isNotNull()
-    )
-    edges = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # One count materializes the persisted edge frame and gates BOTH
-    # guards: the empty-graph early-out (a well-curated or capped corpus
-    # routinely yields ZERO pairs — without the guard that still costs a
-    # full label-init + one round + convergence count, ~0.5 s of pure job
-    # scheduling) and the small-graph driver fast path. The edges would
-    # be fully materialized by round 1 anyway, so the count re-reads
-    # cached blocks, not the pair-generation lineage.
-    out_schema = edges.select(
-        F.col("u").alias("id"), F.col("u").alias("cluster_id")
-    ).schema
-    n_edges = edges.count()
-    if n_edges == 0:
-        edges.unpersist()
-        # a LOCAL empty frame, not limit(0) over the edge lineage — the
-        # latter would re-run pair generation for every consumer
-        return pairs.sparkSession.createDataFrame([], out_schema)
-    if small_graph_threshold and n_edges <= small_graph_threshold:
-        # driver union-find with path compression; output = min vertex id
-        # per component, identical to the distributed fixpoint
-        parent: dict = {}
+    def _restore() -> None:
+        if restore_ckpt is None:
+            return
+        sc = spark.sparkContext
+        try:
+            # exact restore: put the saved (already UUID'd) path back as
+            # the Scala var itself. The public setCheckpointDir would
+            # mint a fresh UUID subdir UNDER it — still the other
+            # caller's tree, but one level deeper per call.
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.apply(restore_ckpt)
+            )
+        except Exception:
+            sc.setCheckpointDir(restore_ckpt)
+        sc._dtm_checkpoint_root = None
 
-        def _find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
+    try:
+        # an edge with a NULL endpoint carries no adjacency information —
+        # dropped up front so BOTH paths see the same graph (the driver
+        # union-find would otherwise crash comparing None with ints, while
+        # joins silently never match NULL keys: a crash-vs-result divergence
+        # decided by nothing but edge count)
+        e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+            F.col("u").isNotNull() & F.col("v").isNotNull()
+        )
+        edges = (
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # One count materializes the persisted edge frame and gates BOTH
+        # guards: the empty-graph early-out (a well-curated or capped corpus
+        # routinely yields ZERO pairs — without the guard that still costs a
+        # full label-init + one round + convergence count, ~0.5 s of pure job
+        # scheduling) and the small-graph driver fast path. The edges would
+        # be fully materialized by round 1 anyway, so the count re-reads
+        # cached blocks, not the pair-generation lineage.
+        out_schema = edges.select(
+            F.col("u").alias("id"), F.col("u").alias("cluster_id")
+        ).schema
+        n_edges = edges.count()
+        if n_edges == 0:
+            edges.unpersist()
+            # a LOCAL empty frame, not limit(0) over the edge lineage — the
+            # latter would re-run pair generation for every consumer
+            return pairs.sparkSession.createDataFrame([], out_schema)
+        if small_graph_threshold and n_edges <= small_graph_threshold:
+            # driver union-find with path compression; output = min vertex id
+            # per component, identical to the distributed fixpoint
+            parent: dict = {}
 
-        for row in edges.collect():
-            a, b = row[0], row[1]
-            if a not in parent:
-                parent[a] = a
-            if b not in parent:
-                parent[b] = b
-            ra, rb = _find(a), _find(b)
-            if ra != rb:
-                parent[ra] = rb
-        edges.unpersist()
-        comp_min: dict = {}
-        roots = {v: _find(v) for v in parent}
-        for v, r in roots.items():
-            if r not in comp_min or v < comp_min[r]:
-                comp_min[r] = v
-        return spark.createDataFrame(
-            [(v, comp_min[r]) for v, r in roots.items()], out_schema
-        )
-    # Seeded init: label(u) = min(u, min neighbor) — the neighbor-min half
-    # of round 1 folded into the vertex-set construction. Costs the same
-    # single shuffle as the old distinct-vertices + identity init (groupBy
-    # on the doubled edge list instead of distinct on it), and dense
-    # near-dup components (the common case) then converge one full round
-    # — three jobs and a checkpoint — earlier. The fixpoint is unchanged:
-    # labels only ever decrease toward the component min.
-    labels = (
-        edges.groupBy("u")
-        .agg(F.min("v").alias("__mn"))
-        .select(
-            F.col("u").alias("id"),
-            F.least(F.col("u"), F.col("__mn")).alias("label"),
-        )
-    )
-    labels = _cut(labels)
+            def _find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
 
-    for rnd in range(max_iter):
-        # 1. neighbor-min: min label over each vertex's neighborhood.
-        nbr_min = (
-            edges.join(labels, edges["v"] == labels["id"])
-            .groupBy("u")
-            .agg(F.min("label").alias("__nmin"))
-        )
-        stepped = (
-            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            for row in edges.collect():
+                a, b = row[0], row[1]
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = _find(a), _find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            edges.unpersist()
+            comp_min: dict = {}
+            roots = {v: _find(v) for v in parent}
+            for v, r in roots.items():
+                if r not in comp_min or v < comp_min[r]:
+                    comp_min[r] = v
+            return spark.createDataFrame(
+                [(v, comp_min[r]) for v, r in roots.items()], out_schema
+            )
+        # Seeded init: label(u) = min(u, min neighbor) — the neighbor-min half
+        # of round 1 folded into the vertex-set construction. Costs the same
+        # single shuffle as the old distinct-vertices + identity init (groupBy
+        # on the doubled edge list instead of distinct on it), and dense
+        # near-dup components (the common case) then converge one full round
+        # — three jobs and a checkpoint — earlier. The fixpoint is unchanged:
+        # labels only ever decrease toward the component min.
+        labels = (
+            edges.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
             .select(
-                labels["id"],
-                labels["label"].alias("__old"),
-                F.least(
-                    labels["label"], F.coalesce(F.col("__nmin"), labels["label"])
-                ).alias("label"),
+                F.col("u").alias("id"),
+                F.least(F.col("u"), F.col("__mn")).alias("label"),
             )
         )
-        # 2. pointer jump: label <- current label of the label vertex.
-        # Labels are always vertex ids (mins over vertex ids), and label
-        # values only decrease, so the lookup is total and monotone.
-        lut = stepped.select(
-            F.col("id").alias("label"), F.col("label").alias("__jump")
-        )
-        jumped = stepped.join(lut, "label", "left").select(
-            "id", "__old", F.coalesce("__jump", "label").alias("label")
-        )
-        jumped = _cut(jumped)
-        labels = jumped.drop("__old")
-        # Convergence check on even rounds only (and on the last): the
-        # fixpoint is stable, so overshooting by one cheap round beats
-        # paying a count job per round. Round 0 keeps its check — dense
-        # near-dup components (the common case, helped by the seeded init)
-        # converge there and must not pay an extra round; long chains skip
-        # every other count. Checking a single round's delta is
-        # sufficient: one full round with zero label decreases IS the
-        # fixpoint.
-        if rnd % 2 == 0 or rnd == max_iter - 1:
-            changed = jumped.filter(F.col("label") < F.col("__old")).count()
-            if changed == 0:
-                break
+        labels = _cut(labels)
 
-    edges.unpersist()
-    return labels.select("id", F.col("label").alias("cluster_id"))
+        for rnd in range(max_iter):
+            # 1. neighbor-min: min label over each vertex's neighborhood.
+            nbr_min = (
+                edges.join(labels, edges["v"] == labels["id"])
+                .groupBy("u")
+                .agg(F.min("label").alias("__nmin"))
+            )
+            stepped = (
+                labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+                .select(
+                    labels["id"],
+                    labels["label"].alias("__old"),
+                    F.least(
+                        labels["label"], F.coalesce(F.col("__nmin"), labels["label"])
+                    ).alias("label"),
+                )
+            )
+            # 2. pointer jump: label <- current label of the label vertex.
+            # Labels are always vertex ids (mins over vertex ids), and label
+            # values only decrease, so the lookup is total and monotone.
+            lut = stepped.select(
+                F.col("id").alias("label"), F.col("label").alias("__jump")
+            )
+            jumped = stepped.join(lut, "label", "left").select(
+                "id", "__old", F.coalesce("__jump", "label").alias("label")
+            )
+            jumped = _cut(jumped)
+            labels = jumped.drop("__old")
+            # Convergence check on even rounds only (and on the last): the
+            # fixpoint is stable, so overshooting by one cheap round beats
+            # paying a count job per round. Round 0 keeps its check — dense
+            # near-dup components (the common case, helped by the seeded init)
+            # converge there and must not pay an extra round; long chains skip
+            # every other count. Checking a single round's delta is
+            # sufficient: one full round with zero label decreases IS the
+            # fixpoint.
+            if rnd % 2 == 0 or rnd == max_iter - 1:
+                changed = jumped.filter(F.col("label") < F.col("__old")).count()
+                if changed == 0:
+                    break
+
+        edges.unpersist()
+        return labels.select("id", F.col("label").alias("cluster_id"))
+    finally:
+        _restore()

@@ -486,6 +486,35 @@ class TestReliableCheckpoint:
         ]
         assert files, "reliable checkpoint wrote nothing"
 
+    def test_preexisting_checkpoint_dir_is_restored(self, spark, tmp_path):
+        """setCheckpointDir is session-global; a dir some OTHER caller set
+        must be put back when connected_components is done with its own
+        (advice, rounds 5-6 — the scoping half of the warning). Safe to
+        restore because every per-round cut is eager."""
+        from data_transform_make_spark.operators.graph import connected_components
+
+        sc = spark.sparkContext
+        sc.setCheckpointDir(str(tmp_path / "theirs"))
+        sc._dtm_checkpoint_root = None  # not ours — simulate a foreign caller
+        theirs = sc.getCheckpointDir()
+        assert "theirs" in theirs
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long"
+        )
+        out = connected_components(
+            edges,
+            checkpoint_dir=str(tmp_path / "ours"),
+            small_graph_threshold=0,
+        )
+        # the returned frame is checkpointed eagerly inside the call, so
+        # it stays collectable AFTER the restore
+        assert sc.getCheckpointDir() == theirs
+        got = {r["id"]: r["cluster_id"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+        # and the module's own idempotence memo was cleared with it
+        assert getattr(sc, "_dtm_checkpoint_root", None) is None
+
 
 class TestDomainMixing:
     def test_fractions_are_deterministic_and_proportional(self, spark):
