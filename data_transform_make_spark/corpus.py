@@ -3246,7 +3246,8 @@ def cr1_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     named column and the CASE bands over that attribute — four WHEN
     branches each re-referencing the pandas_udf expression would zlib
     every document up to 4x if UDF subtree deduplication declined to
-    collapse them (advice, round 6); tests/test_text_analysis.py pins
+    collapse them (advice, round 6); tests/test_text_ops.py
+    (TestCompressionRatio::test_cr1_plan_evaluates_udf_once) pins
     the plan to a single ArrowEvalPython evaluation."""
     from .functions.text import compression_ratio
 
@@ -3991,30 +3992,33 @@ def ll3_training_corpus_capped(spark: SparkSession, sf_dir: str, eager: bool = T
 # round 6 re-certified pack1 (red-row fix), the r6 additions, the queries
 # whose text changed, and the r1-r3 backlog — and went 50/50 green.
 #
-# ROUND 7 (registry FROZEN at 109 — no new queries, per verdict): fronts
-# (a) the six late-r6 queries that have never held a driver row
-#     (diff1/hop1/unp1/st8/rc1/gf1 — full-sim green since r6),
-# (b) the seven queries whose SQL twins changed THIS round (the
-#     _duck_mulhash32 sign-safe reduction: sp1, mix1, dec1, samp1,
-#     ll1/ll2/ll3 — values identical for the non-negative fixture ids,
-#     but the certified row must reflect the current oracle text),
-# (c) the oldest certified rows back into the window: the full r4-row
-#     block (w1, w4, s1, g1, ta3, ta4, d5, u1, g2, w5, mm1, mm3) and as
-#     much of the r5-row block as fits (w2, j4, d2b, ch1, d6, sk1, w8,
-#     pu1, ga1, udtf1, cs1, mo1, pii1, tf1, st6, d3b, d4b, d5d) —
+# ROUND 7 (registry FROZEN at 109) went 50/50 green: first rows for
+# diff1/hop1/unp1/st8/rc1/gf1, re-certification of the seven sign-safe
+# mulhash twins, and the r4 block + most of the r5 block refreshed.
+#
+# ROUND 8 (registry still FROZEN at 109 — freshness round, per the r7
+# verdict): fronts
+# (a) the 14 oracle-able keys whose newest row is r5 — three rounds
+#     stale by this check — g3, up1, sql1, q4, q6, h1, pc1, cd1, w6,
+#     w7, x2, mf1, arr1, agg1 (all full-sim green every session since),
+# (b) cr1_compression_ratio — the ONE registry key with no driver row
+#     of any kind; it is rows-only by nature (zlib inside an Arrow
+#     pandas_udf has no DuckDB twin) so the row records as the honest
+#     no_oracle marker, held by the python-zlib-exact unit test and the
+#     single-ArrowEvalPython plan test,
+# (c) 28 of the 36 r6-certified keys, oldest block in the registry:
+#     t7, t5, a3, a4_a6, a5, x1, w3, j2, j3, d1, d2, dc1, dc2, n2,
+#     n3b, lm1, pack1, par1, dq1, bm25_1, dt1, st2, st3, st4, st5,
+#     st7, ta1, ta2 —
 # anchored by the representative core (p1, p4, i1, j1, a1_a2, q1, st1)
 # kept in-window every round as a cross-round regression tripwire.
-# Still out after r7 (MUST front the r8 window, 3 rounds stale by then):
-# the 14 remaining r5-row keys g3, up1, sql1, q4, q6, h1, pc1, cd1, w6,
-# w7, x2, mf1, arr1, agg1 — each family keeps in-window coverage this
-# round (agg: q1 anchor + mo1; windows: w1/w2/w3/w5/w8; grouping sets:
-# g1/g2; unpivot: the native unp1; explode/array/map: p4's posexplode +
-# ta-family HOFs; raw SQL: rc1's verbatim WITH RECURSIVE). The r6-row
-# block (fresh, 1 round old) and the rows-only set (d3/d4/d5b/d5c, n3,
-# mm2/mm4, apx1, cr1 — hash-family/approximate/binary, each held by an
-# in-window deterministic twin: d3b/d4b/d5d, n2/n3b, mm2b/mm4b) wait
-# behind them. Keys and query bodies are NEVER changed by rotation —
-# only dict order.
+# After r8 every oracle-able key's newest row is r6 or newer. Still out
+# (front the r9 window): the 8 remaining r6 keys q3, q5, n1, mm2b,
+# mm4b, ta5, tc1, sd1, plus the rows-only set (apx1 r5; d3/d4/d5b/d5c,
+# n3, mm2/mm4 r4 — hash-family/approximate/binary, each held by an
+# in-window-or-fresh deterministic twin: d3b/d4b/d5d, n2/n3b,
+# mm2b/mm4b) whose markers deserve a refresh next. Keys and query
+# bodies are NEVER changed by rotation — only dict order.
 _DRIVER_WINDOW = [
     # core anchors (certified every round)
     "p1_status_gate",
@@ -4024,57 +4028,54 @@ _DRIVER_WINDOW = [
     "a1_a2_order_counter_deltas",
     "q1_pricing_summary",
     "st1_stream_window_agg",
-    # (a) first-ever driver rows: the late-r6 additions
-    "diff1_snapshot_diff",
-    "hop1_hopping_window_agg",
-    "unp1_unpivot_measures",
-    "st8_stream_hopping_window",
-    "rc1_recursive_hierarchy",
-    "gf1_calendar_gap_fill",
-    # (b) SQL-twin text changed this round (sign-safe _duck_mulhash32):
-    # re-certify against the new text
-    "sp1_hash_split",
-    "mix1_domain_mixing",
-    "dec1_decontamination",
-    "samp1_stratified_sample",
-    "ll1_training_corpus",
-    "ll2_training_corpus_clustered",
-    "ll3_training_corpus_capped",
-    # (c) oldest rows first: the complete r4-certified block
-    "w1_running_total",
-    "w4_tumbling_window",
-    "s1_set_ops",
-    "g1_rollup",
-    "ta3_quality_score",
-    "ta4_doc_fingerprint",
-    "d5_embedding_near_dup",
-    "u1_string_funcs",
-    "g2_cube",
-    "w5_global_topk",
-    "mm1_media_metadata",
-    "mm3_frame_sample",
-    # (c) then the r5-certified block, prioritized: the deterministic
-    # dedup/LSH twins (core LLM-data certifications), the UDF surface,
-    # streaming routing, skew join, text ops — the 14 that don't fit are
-    # committed to front r8 (see block comment above)
-    "w2_topk_per_group",
-    "j4_semi_anti_join",
-    "d2b_ngram_jaccard_capped",
-    "ch1_doc_chunks",
-    "d6_editdist_recheck",
-    "sk1_salted_join",
-    "w8_percent_rank",
-    "pu1_scalar_pandas_udf",
-    "ga1_pandas_grouped_agg",
-    "udtf1_lateral_tokenize",
-    "cs1_correlated_subquery",
-    "mo1_moment_aggs",
-    "pii1_redaction",
-    "tf1_keyword_topk",
-    "st6_stream_ingest_routing",
-    "d3b_minhash_lsh_md5",
-    "d4b_simhash_md5",
-    "d5d_embedding_lsh_oracle",
+    # (a) the r5-stale oracle-able block — three rounds without a row
+    "g3_grouping_sets",
+    "up1_unpivot",
+    "sql1_raw_sql",
+    "q4_order_priority",
+    "q6_filter_agg",
+    "h1_having",
+    "pc1_percentiles",
+    "cd1_distinct_agg",
+    "w6_lag_lead",
+    "w7_ntile",
+    "x2_explode_sequence",
+    "mf1_map_explode",
+    "arr1_array_hofs",
+    "agg1_ordered_collect",
+    # (b) first-ever driver row (honest no_oracle marker)
+    "cr1_compression_ratio",
+    # (c) the oldest-certified r6 block: reference-parity ops first
+    # (JS-compat, pipelines, joins), then the LLM-data certifications
+    # (dedup/CC/curation/profiling/BM25), then streaming, then text
+    "t7_js_parse_int",
+    "t5_falsy_defaults",
+    "a3_insufficient_stock",
+    "a4_a6_status_transitions",
+    "a5_counter_pivot",
+    "x1_json_extract",
+    "w3_sessionize",
+    "j2_as_of_join",
+    "j3_range_join",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard",
+    "dc1_dedup_clusters",
+    "dc2_dedup_clusters_capped",
+    "n2_lsh_topk",
+    "n3b_ivf_topk_oracle",
+    "lm1_unigram_freq_score",
+    "pack1_token_budget",
+    "par1_paragraph_dedup",
+    "dq1_column_profile",
+    "bm25_1_query_ranking",
+    "dt1_date_buckets",
+    "st2_stream_dedup",
+    "st3_stream_stateful_counters",
+    "st4_stream_stream_join",
+    "st5_stream_session_window",
+    "st7_stream_static_join",
+    "ta1_text_stats",
+    "ta2_lang_id",
 ]
 
 

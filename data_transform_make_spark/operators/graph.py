@@ -97,8 +97,20 @@ def connected_components(
         # idempotence guard: setCheckpointDir mints a fresh UUID subdir per
         # call, so the raw argument (not sc.getCheckpointDir, which returns
         # the UUID'd path) is remembered to avoid churning directories on
-        # repeated calls with the same root
-        if getattr(sc, "_dtm_checkpoint_root", None) != checkpoint_dir:
+        # repeated calls with the same root. The memo alone is not enough
+        # (advice, round 7): a foreign setCheckpointDir between two calls
+        # with the same root would make a memo-only skip silently drop
+        # reliable checkpoints into the FOREIGN dir with nothing
+        # saved/restored — so the UUID'd path the last set produced is
+        # also remembered, and the skip requires the live
+        # sc.getCheckpointDir() to still equal it; on divergence we
+        # re-set and capture the foreign dir for restore like any other
+        # pre-existing dir.
+        memo_hit = (
+            getattr(sc, "_dtm_checkpoint_root", None) == checkpoint_dir
+            and sc.getCheckpointDir() == getattr(sc, "_dtm_checkpoint_set", None)
+        )
+        if not memo_hit:
             # scope the session-global mutation (advice, rounds 5-6): a
             # dir someone ELSE set is put back on exit — safe because
             # every _cut below is eager, so our checkpoint files are on
@@ -108,6 +120,7 @@ def connected_components(
             restore_ckpt = sc.getCheckpointDir()
             sc.setCheckpointDir(checkpoint_dir)
             sc._dtm_checkpoint_root = checkpoint_dir
+            sc._dtm_checkpoint_set = sc.getCheckpointDir()
 
     def _cut(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
@@ -129,6 +142,7 @@ def connected_components(
         except Exception:
             sc.setCheckpointDir(restore_ckpt)
         sc._dtm_checkpoint_root = None
+        sc._dtm_checkpoint_set = None
 
     try:
         # an edge with a NULL endpoint carries no adjacency information —

@@ -152,8 +152,19 @@ def _swap_parquet(df, path: str, tmp_suffix: str) -> None:
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
-    # a stranded __old from a previous crashed swap would fail the rename
-    shutil.rmtree(old, ignore_errors=True)
+    # crash-recovery ordering (advice, round 7): a previous swap that died
+    # between its two renames leaves base MISSING and the only surviving
+    # copy at __old. Deleting __old unconditionally here would destroy
+    # that copy and then fail the rename anyway — so __old is only
+    # treated as stranded debris when base exists; when base is missing,
+    # the survivor is renamed back into place first (auto-recovery), and
+    # the swap proceeds against the recovered table.
+    if os.path.exists(base):
+        # a stranded __old from a previous COMPLETED-then-crashed swap
+        # (died before its final delete) would fail the rename below
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.exists(old):
+        os.rename(old, base)
     os.rename(base, old)
     os.rename(tmp, base)
     shutil.rmtree(old)

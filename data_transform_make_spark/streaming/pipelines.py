@@ -266,11 +266,14 @@ def _checkpointed_state_pipeline(
     dedupe cleanly-restarted input, the epoch-keyed write dedupes the
     crash-replay window. Requires ``state_dir`` to survive restarts
     alongside the checkpoint — and the two are BOUND: the state_dir is
-    stamped with its checkpoint path (``_lineage`` marker) on first use,
+    stamped with its checkpoint path (``_lineage`` marker, realpath'd so
+    symlinked/relative respellings of one checkpoint agree) on first use,
     and a run that pairs it with a different checkpoint (or finds
     unstamped epoch state) is refused with an error, because epoch ids
     restart at 0 in a new lineage and stale ``epoch_0`` state would be
-    silently loaded in place of the new run's first batch. Without
+    silently loaded in place of the new run's first batch. A stamped
+    state_dir holding NO epoch dirs (a run that died pre-first-batch)
+    carries no replay hazard and is rebound instead of refused. Without
     ``checkpoint_dir`` each run is a fresh full pass (tests/demos).
     """
     import os
@@ -290,19 +293,35 @@ def _checkpointed_state_pipeline(
     # or point at a fresh/empty state_dir (a genuine new job).
     if checkpoint_dir is not None:
         marker = os.path.join(state_dir, "_lineage")
-        lineage = os.path.abspath(checkpoint_dir)
+        # realpath, not abspath (advice, round 7): the same logical
+        # checkpoint reached via a symlink or a different cwd-relative
+        # spelling across restarts must not read as a foreign lineage
+        lineage = os.path.realpath(checkpoint_dir)
         if os.path.exists(marker):
             with open(marker) as fh:
                 bound = fh.read().strip()
             if bound != lineage:
-                raise ValueError(
-                    f"state_dir {state_dir!r} is bound to checkpoint "
-                    f"lineage {bound!r} but this run uses {lineage!r}; "
-                    "reuse the matching checkpointLocation to restart, or "
-                    "use a fresh state_dir for a new lineage (stale epoch "
-                    "state would otherwise silently replace this run's "
-                    "first batches)"
+                # the refusal exists to protect REPLAYABLE state (epoch
+                # dirs whose ids would collide with the new lineage's).
+                # A stamped-but-empty state_dir — e.g. a run that died
+                # before its first batch committed — carries no replay
+                # hazard, so rebinding it to the new lineage is safe
+                # (advice, round 7).
+                has_epochs = any(
+                    d.startswith("epoch_") for d in os.listdir(state_dir)
                 )
+                if not has_epochs:
+                    with open(marker, "w") as fh:
+                        fh.write(lineage)
+                else:
+                    raise ValueError(
+                        f"state_dir {state_dir!r} is bound to checkpoint "
+                        f"lineage {bound!r} but this run uses {lineage!r}; "
+                        "reuse the matching checkpointLocation to restart, "
+                        "or use a fresh state_dir for a new lineage (stale "
+                        "epoch state would otherwise silently replace this "
+                        "run's first batches)"
+                    )
         else:
             os.makedirs(state_dir, exist_ok=True)
             stray = [

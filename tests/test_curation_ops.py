@@ -515,6 +515,60 @@ class TestReliableCheckpoint:
         # and the module's own idempotence memo was cleared with it
         assert getattr(sc, "_dtm_checkpoint_root", None) is None
 
+    def test_foreign_set_between_same_root_calls_is_detected(
+        self, spark, tmp_path
+    ):
+        """The idempotence memo alone must not decide the skip (advice,
+        round 7): a FOREIGN setCheckpointDir between two calls with the
+        same root would otherwise leave the memo stale — the second
+        call's reliable checkpoints would silently land in the foreign
+        dir with nothing saved/restored. The live getCheckpointDir() is
+        compared against the path our last set produced; on divergence
+        the dir is re-set (cuts land in OUR root) and the foreign dir is
+        captured and restored on exit."""
+        import os
+
+        from data_transform_make_spark.operators.graph import (
+            connected_components,
+        )
+
+        sc = spark.sparkContext
+        ours = str(tmp_path / "ours")
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long"
+        )
+        # prime the memo exactly as the module's own set leaves it (doing
+        # it directly keeps the test independent of what earlier tests
+        # left as the session-global dir)
+        sc.setCheckpointDir(ours)
+        sc._dtm_checkpoint_root = ours
+        sc._dtm_checkpoint_set = sc.getCheckpointDir()
+
+        # a foreign caller flips the session-global dir between our calls
+        sc.setCheckpointDir(str(tmp_path / "foreign"))
+        foreign = sc.getCheckpointDir()
+
+        def count_files(root):
+            return sum(
+                len(names) for (_, _, names) in os.walk(root)
+            ) if os.path.exists(root) else 0
+
+        before_ours = count_files(ours)
+        before_foreign = count_files(tmp_path / "foreign")
+        out = connected_components(
+            edges, checkpoint_dir=ours, small_graph_threshold=0
+        )
+        got = {r["id"]: r["cluster_id"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+        # the second call's checkpoints landed in OUR root, not the
+        # foreign dir...
+        assert count_files(ours) > before_ours
+        assert count_files(tmp_path / "foreign") == before_foreign
+        # ...and the foreign dir was restored on exit like any other
+        # pre-existing dir
+        assert sc.getCheckpointDir() == foreign
+        assert getattr(sc, "_dtm_checkpoint_root", None) is None
+
 
 class TestDomainMixing:
     def test_fractions_are_deterministic_and_proportional(self, spark):

@@ -137,6 +137,32 @@ def test_swap_parquet_crash_window_keeps_a_recoverable_copy(
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == [7, 8]
 
 
+def test_swap_parquet_retry_auto_recovers_sole_surviving_copy(
+    spark, tmp_path
+):
+    """A crash BETWEEN the two renames leaves base missing and the only
+    surviving copy at ``<path>__old``. A blind retry used to rmtree that
+    survivor unconditionally and then fail the rename anyway — total
+    loss (advice, round 7). Now: when base is missing and __old exists,
+    the survivor is renamed back into place and the swap proceeds."""
+    import glob
+    import os
+
+    from data_transform_make_spark.sources.sinks import _swap_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(0, 10).write.parquet(path)
+    # simulate the crash window's on-disk state: base renamed aside,
+    # new data never landed
+    os.rename(path, path + "__old")
+
+    _swap_parquet(spark.range(100, 105), path, "__tmp")
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == list(
+        range(100, 105)
+    )
+    assert not os.path.exists(path + "__old") and not glob.glob(path + "__tmp")
+
+
 def test_salted_sum_equals_plain(spark, sf_dir):
     from data_transform_make_spark.sources.loader import load_table
 
