@@ -1,0 +1,63 @@
+"""Extend the round-8 sf0.1 -> sf1.0 scaling evidence beyond ll1/ll2/ll3
+to the dedup/curation family the 100 TB posture leans on. Same corpus
+(tools/gen_scale_docs.py), same protocol (one session, one warmup,
+min-of-3 steady-state per cell). dec1's one-slot memo is released before
+every timed run, as in bench.py, so the cell measures the operator.
+
+Prints one JSON line prefixed SCALING_FAMILY_RESULT:.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_transform_make_spark import corpus  # noqa: E402
+from data_transform_make_spark.plans.training_corpus import (  # noqa: E402
+    release_decontamination_cache,
+)
+from data_transform_make_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scale_sf1")
+QUERIES = sys.argv[1:] or [
+    "d1_exact_dedup",
+    "d2_ngram_jaccard",
+    "d3_minhash_lsh",
+    "dc1_dedup_clusters",
+    "dec1_decontamination",
+    "par1_paragraph_dedup",
+]
+
+
+def main() -> None:
+    spark = get_spark("scaling-family")
+    qs = corpus.queries()
+    qs["p1_status_gate"](spark, SF01).count()
+
+    def run_min3(name, sf_dir):
+        def f():
+            if name == "dec1_decontamination":
+                release_decontamination_cache()
+            qs[name](spark, sf_dir).count()
+
+        f()  # warmup
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            f()
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 3)
+
+    out = {}
+    for name in QUERIES:
+        t01 = run_min3(name, SF01)
+        t1 = run_min3(name, SF1)
+        out[name] = {"sf0.1": t01, "sf1.0": t1, "ratio": round(t1 / t01, 2)}
+    print("SCALING_FAMILY_RESULT:" + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
