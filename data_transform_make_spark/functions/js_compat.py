@@ -45,6 +45,13 @@ def js_parse_int(col: Column | str) -> Column:
     ``regexp_extract`` pulls the leading optionally-signed digit run after
     whitespace; no match -> '' -> NULL (via nullif) -> try_cast stays NULL.
     ANSI-safe: the extracted token is always castable.
+
+    Documented deviation: ES parseInt with no radix treats a leading
+    ``0x``/``0X`` as hex (``parseInt("0x10") == 16``); this helper reads
+    the leading DECIMAL run (``"0x10" -> 0``). The reference only ever
+    parses decimal counter strings (makeRouter.js:89,108,117,181,186,191),
+    so the hex branch is intentionally out of scope — kept identical in
+    the engine, the SQL twin, and the property-test reference.
     """
     c = F.col(col) if isinstance(col, str) else col
     tok = F.nullif(F.regexp_extract(c.cast("string"), _LEADING_INT, 1), F.lit(""))

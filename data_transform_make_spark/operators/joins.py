@@ -42,31 +42,51 @@ def as_of_join(
     ``right_ts <= left_ts`` within the same key.
 
     Spark has no native as-of join; this is the union-and-window
-    composition: tag both sides, union on (key, ts), carry right values
-    forward with ``last(..., ignorenulls=True)`` over an ordered window,
-    then keep the left rows. One shuffle on the key — no range explosion,
-    no per-group Python — and it scales to arbitrarily large BOTH sides
-    (vs. ``merge_asof`` in applyInPandas which needs each group to fit in
-    memory). Right-side ties on ts break toward the later row in frame
-    order (right rows sort before left rows at equal ts, so an equal-ts
-    right row IS visible to the left row — the `<=` convention).
+    composition: tag both sides, union on (key, ts), carry the right
+    values forward with ``last(..., ignorenulls=True)`` over an ordered
+    window, then keep the left rows. One shuffle on the key — no range
+    explosion, no per-group Python — and it scales to arbitrarily large
+    BOTH sides (vs. ``merge_asof`` in applyInPandas which needs each
+    group to fit in memory). Right-side ties on ts break toward the later
+    row in frame order (right rows sort before left rows at equal ts, so
+    an equal-ts right row IS visible to the left row — the `<=`
+    convention).
+
+    The right values ride as ONE struct column, not per-column
+    carry-forwards (review, round 8): with per-column
+    ``last(ignorenulls)`` a NULL field in the latest right row was
+    skipped in favor of a STALE earlier value, and fields sourced from
+    DIFFERENT right rows could mix into one output row. The struct is
+    NULL for left rows (so ``ignorenulls`` skips them) but non-NULL for
+    every right row regardless of its fields, so the matched row is
+    always the latest one, taken whole — NULL fields included, row
+    coherence guaranteed.
     """
     if right_value_cols is None:
         right_value_cols = [c for c in right.columns if c not in key_cols and c != right_ts]
     lcols = [c for c in left.columns]
+    r_struct = F.struct(
+        *[F.col(c).cast(right.schema[c].dataType).alias(c) for c in right_value_cols]
+    )
     l_tagged = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+        F.lit(None).cast(
+            "struct<"
+            + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_value_cols
+            )
+            + ">"
+        ).alias("__r"),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in key_cols],
         *[F.col(k) for k in key_cols],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
-    ).select(*lcols, "__ts", "__side", *[f"__r_{c}" for c in right_value_cols])
+        r_struct.alias("__r"),
+    ).select(*lcols, "__ts", "__side", "__r")
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy(*key_cols)
@@ -77,9 +97,11 @@ def as_of_join(
         *lcols,
         F.col("__ts"),
         F.col("__side"),
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in right_value_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__rf"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__ts", "__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols, *[F.col(f"__rf.{c}").alias(c) for c in right_value_cols]
+    )
 
 
 def range_join(
@@ -114,7 +136,22 @@ def bucketed_range_join(
     bucket grid cells it overlaps, equi-join on the left point's cell, then
     re-check the exact predicate. Turns a nested-loop into a hash join keyed
     by ``floor(point / width)``; choose width ≈ median interval length.
+
+    Inner only (review, round 8): the exact predicate is re-applied as a
+    POST-join filter, so under ``left``/outer modes a left row whose only
+    bucket matches carried null bounds — or bounds that fail the exact
+    check — would be silently dropped instead of kept with nulls; the
+    composition cannot express outer semantics. Refused loudly rather
+    than returning inner-minus-some-rows. For an outer range join, run
+    this inner form and re-attach the unmatched left rows with an
+    anti-join.
     """
+    if how.lower() != "inner":
+        raise ValueError(
+            f"bucketed_range_join is inner-only, got {how!r}: the exact "
+            "range predicate is a post-join filter, which drops unmatched "
+            "preserved-side rows under outer modes"
+        )
     lb = left.withColumn("__bucket", F.floor(F.col(left_point) / F.lit(bucket_width)).cast("long"))
     buckets = F.sequence(
         F.floor(F.col(right_lo) / F.lit(bucket_width)).cast("long"),

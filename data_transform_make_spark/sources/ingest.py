@@ -82,8 +82,14 @@ def ingest_with_reason(
     a struct of null fields — so the error channel is the explicit
     ``_corrupt_record`` column (columnNameOfCorruptRecord).
     """
-    sanitized = sanitize_body(df, body_col)
-    oversize = F.octet_length(F.col(body_col)) > MAX_BODY_BYTES
+    # the 5 MB cap applies to the RAW body (server.js:11 — express.text
+    # rejects on the request size BEFORE any middleware trims it), so the
+    # oversize flag is computed before sanitize_body replaces the column:
+    # a >5 MB whitespace-padded payload must dead-letter, not trim its way
+    # under the cap (review, round 8 — the flag previously read the
+    # sanitized column)
+    oversize_raw = F.octet_length(F.col(body_col)) > MAX_BODY_BYTES
+    sanitized = sanitize_body(df.withColumn("__oversize", oversize_raw), body_col)
     corrupt = "_corrupt_record"
     aug_schema = T.StructType(
         [*schema.fields, T.StructField(corrupt, T.StringType())]
@@ -93,7 +99,7 @@ def ingest_with_reason(
         aug_schema,
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
     )
-    staged = sanitized.withColumn("__oversize", oversize).withColumn("__rec", parsed_col)
+    staged = sanitized.withColumn("__rec", parsed_col)
     bad_parse = F.col(f"__rec.{corrupt}").isNotNull() | F.col("__rec").isNull()
     reason = (
         F.when(F.col("__oversize"), F.lit("payload_too_large"))

@@ -89,6 +89,31 @@ def test_parse_with_dead_letter_routes_malformed(spark):
     assert dead == {3: "invalid_json"}
 
 
+def test_oversize_cap_applies_to_raw_body_pre_trim(spark):
+    """The 5 MB cap is express.text's REQUEST-size limit (server.js:11):
+    it rejects on the raw body before any middleware trims it. A >5 MB
+    whitespace-padded payload must dead-letter as payload_too_large, not
+    trim its way under the cap (review, round 8 — the flag previously
+    read the sanitized column)."""
+    from data_transform_make_spark.sources.ingest import (
+        MAX_BODY_BYTES,
+        parse_with_dead_letter,
+    )
+
+    pad = " " * (MAX_BODY_BYTES + 10)
+    rows = [
+        (1, pad + '{"k": 7}'),   # raw >5MB, trims to tiny valid JSON
+        (2, '{"k": 8}'),         # control: small valid body
+    ]
+    df = spark.createDataFrame(rows, "id long, raw_body string")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    res = parse_with_dead_letter(df, schema)
+    assert {r.id: r.reject_reason for r in res.dead_letter.collect()} == {
+        1: "payload_too_large"
+    }
+    assert {r.id: r.record.k for r in res.parsed.collect()} == {2: 8}
+
+
 def test_observed_ingest_metrics_piggyback_the_action(spark):
     """S8 observability: the request-log counters ride the SAME pass as
     the consuming action (df.observe) — values match a hand count, and

@@ -1,0 +1,79 @@
+"""Unit tests for the join operators (operators/joins.py) — the as-of
+union-window composition's row coherence and the bucketed range join's
+mode contract. The j2/j3 oracle twins certify the happy paths at sf0.01;
+these pin the edge semantics the fixture doesn't reach."""
+
+import pytest
+
+from data_transform_make_spark.operators.joins import (
+    as_of_join,
+    bucketed_range_join,
+)
+
+
+def test_as_of_join_matches_latest_row_whole_including_nulls(spark):
+    """The matched right row is taken WHOLE (review, round 8): per-column
+    carry-forward skipped a NULL field in the latest right row in favor
+    of a stale earlier value, and could stitch fields from DIFFERENT
+    right rows into one output row."""
+    left = spark.createDataFrame(
+        [("k1", 3), ("k1", 1)], "key string, lts long"
+    )
+    right = spark.createDataFrame(
+        [("k1", 1, 10, 100), ("k1", 2, None, 200)],
+        "key string, rts long, a long, b long",
+    )
+    out = {
+        r.lts: (r.a, r.b)
+        for r in as_of_join(
+            left, right, ["key"], "lts", "rts", ["a", "b"]
+        ).collect()
+    }
+    # lts=3 matches the rts=2 row AS A ROW: a is its NULL (not the stale
+    # 10 from rts=1), b its 200. lts=1 matches rts=1 whole.
+    assert out == {3: (None, 200), 1: (10, 100)}
+
+
+def test_as_of_join_no_match_yields_nulls(spark):
+    left = spark.createDataFrame([("k1", 0)], "key string, lts long")
+    right = spark.createDataFrame(
+        [("k1", 5, 1)], "key string, rts long, a long"
+    )
+    rows = as_of_join(left, right, ["key"], "lts", "rts", ["a"]).collect()
+    assert len(rows) == 1 and rows[0].a is None
+
+
+def test_as_of_join_equal_ts_right_row_is_visible(spark):
+    """The <= convention: a right row AT the left row's timestamp
+    matches (right rows sort before left rows at equal ts)."""
+    left = spark.createDataFrame([("k1", 5)], "key string, lts long")
+    right = spark.createDataFrame(
+        [("k1", 5, 7)], "key string, rts long, a long"
+    )
+    rows = as_of_join(left, right, ["key"], "lts", "rts", ["a"]).collect()
+    assert rows[0].a == 7
+
+
+def test_bucketed_range_join_refuses_outer_modes(spark):
+    """The exact range predicate is a post-join filter — outer modes
+    would silently drop unmatched preserved-side rows, so they are
+    refused loudly (review, round 8)."""
+    left = spark.createDataFrame([(1.0,)], "p double")
+    right = spark.createDataFrame([(0.0, 2.0)], "lo double, hi double")
+    with pytest.raises(ValueError, match="inner-only"):
+        bucketed_range_join(left, right, "p", "lo", "hi", 1.0, how="left")
+
+
+def test_bucketed_range_join_inner_matches_exact_predicate(spark):
+    left = spark.createDataFrame(
+        [(1, 0.5), (2, 7.5), (3, 99.0)], "id long, p double"
+    )
+    right = spark.createDataFrame(
+        [(0.0, 1.0, "a"), (7.0, 8.0, "b"), (7.4, 7.6, "c")],
+        "lo double, hi double, tag string",
+    )
+    got = sorted(
+        (r.id, r.tag)
+        for r in bucketed_range_join(left, right, "p", "lo", "hi", 1.0).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (2, "c")]
