@@ -54,6 +54,54 @@ def test_as_of_join_equal_ts_right_row_is_visible(spark):
     assert rows[0].a == 7
 
 
+def test_as_of_join_matches_python_reference_randomized(spark):
+    """Randomized cross-check against a direct Python as-of reference:
+    for each left row, the latest right row with rts <= lts in its key,
+    taken WHOLE (NULL fields included); ties on rts break toward the
+    later row in input order, matching the union-window frame order."""
+    import random
+
+    rng = random.Random(8)
+    keys = ["a", "b", "c"]
+    left = [
+        (rng.choice(keys), rng.randrange(100), i) for i in range(60)
+    ]
+    right = [
+        (
+            rng.choice(keys),
+            rng.randrange(100),
+            rng.choice([None, rng.randrange(1000)]),
+            rng.randrange(1000),
+        )
+        for _ in range(40)
+    ]
+    # make right timestamps unique per key: frame order between equal-ts
+    # right rows is not a contract (last() over an untotal order), so the
+    # reference would be comparing unspecified behavior
+    seen = set()
+    right = [
+        r
+        for r in right
+        if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+    ]
+
+    def expect(k, lts):
+        cands = [r for r in right if r[0] == k and r[1] <= lts]
+        if not cands:
+            return (None, None)
+        best = max(cands, key=lambda r: r[1])
+        return (best[2], best[3])
+
+    ldf = spark.createDataFrame(left, "key string, lts long, lid long")
+    rdf = spark.createDataFrame(
+        right, "key string, rts long, a long, b long"
+    )
+    out = as_of_join(ldf, rdf, ["key"], "lts", "rts", ["a", "b"])
+    got = {r.lid: (r.a, r.b) for r in out.collect()}
+    want = {lid: expect(k, lts) for (k, lts, lid) in left}
+    assert got == want
+
+
 def test_bucketed_range_join_refuses_outer_modes(spark):
     """The exact range predicate is a post-join filter — outer modes
     would silently drop unmatched preserved-side rows, so they are
