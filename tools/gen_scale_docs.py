@@ -84,13 +84,48 @@ def main() -> None:
     )
     os.makedirs(OUT_DIR, exist_ok=True)
     pq.write_table(pa.Table.from_pylist(out, schema=schema), os.path.join(OUT_DIR, "documents.parquet"))
+
+    # embeddings x10 for the similarity-family scaling rows: replica i
+    # shifts vec_ids into a disjoint range and ROTATES each vector by i
+    # positions — deterministic, norm-preserving (cosine structure within
+    # each replica is isomorphic to the original), replica 0 verbatim so
+    # the n1/n2 query vector (vec_id=0) is unchanged.
+    et = pq.read_table(os.path.join(SRC, "embeddings.parquet")).to_pylist()
+    eout = []
+    for i in range(REPLICAS):
+        for r in et:
+            if i == 0:
+                eout.append(r)
+            else:
+                v = r["embedding"]
+                eout.append(
+                    {
+                        "vec_id": r["vec_id"] + i * ID_STRIDE,
+                        "embedding": v[i:] + v[:i],
+                        "label": r["label"],
+                    }
+                )
+    eschema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    edst = os.path.join(OUT_DIR, "embeddings.parquet")
+    if os.path.islink(edst):
+        os.remove(edst)
+    pq.write_table(pa.Table.from_pylist(eout, schema=eschema), edst)
+
     # the other tables are untouched at this scale point; symlink them so
     # load_table(spark, OUT_DIR, name) resolves for every table name
     for name in os.listdir(SRC):
         dst = os.path.join(OUT_DIR, name)
-        if name != "documents.parquet" and not os.path.lexists(dst):
+        if name not in ("documents.parquet", "embeddings.parquet") and not os.path.lexists(dst):
             os.symlink(os.path.join(SRC, name), dst)
-    print(f"wrote {len(out)} docs -> {OUT_DIR}/documents.parquet")
+    print(
+        f"wrote {len(out)} docs + {len(eout)} embeddings -> {OUT_DIR}/"
+    )
 
 
 if __name__ == "__main__":
