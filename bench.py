@@ -72,6 +72,16 @@ HEADLINE = [
     "bm25_1_query_ranking",
     "diff1_snapshot_diff",
     "hop1_hopping_window_agg",
+    # added round 8 (same caveat): families previously unrepresented in
+    # the headline set — date/series gap-fill, native unpivot, batch
+    # tumbling windows, and the two Python-boundary paths (Arrow
+    # pandas_udf, UDTF lateral) whose regression would otherwise be
+    # invisible between rounds
+    "gf1_calendar_gap_fill",
+    "unp1_unpivot_measures",
+    "w4_tumbling_window",
+    "pu1_scalar_pandas_udf",
+    "udtf1_lateral_tokenize",
 ]
 
 RUNS_PER_PASS = 3
