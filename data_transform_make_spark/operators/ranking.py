@@ -109,8 +109,13 @@ def bm25_topk(
     # so both engines parse the identical decimal (k1 + 1 is not
     # necessarily the double nearest "2.2" — never re-derive it SQL-side)
     k1p1, one_minus_b = k1 + 1.0, 1.0 - b
-    ratio = F.col("dl").cast("double") / (
-        F.col("__sumdl").cast("double") / F.col("__n").cast("double")
+    # avgdl = 0 (an ALL-empty corpus) would make ratio 0.0/0.0 = NaN and
+    # poison every score (review, round 8) — in that corpus every dl is 0,
+    # so the length-normalization ratio is defined to 0 and the documented
+    # "empty docs score exactly 0.0" contract holds corpus-wide
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
+    ratio = F.when(F.col("__sumdl") == 0, F.lit(0.0)).otherwise(
+        F.col("dl").cast("double") / avgdl
     )
     score = None
     for i in range(len(query_terms)):

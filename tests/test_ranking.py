@@ -79,6 +79,18 @@ def test_bm25_null_and_blank_docs_score_zero_and_count_in_stats(spark):
     assert out[3].score == pytest.approx(s3, abs=1e-12)
 
 
+def test_bm25_all_empty_corpus_scores_zero_not_nan(spark):
+    """An ALL-empty corpus has avgdl = 0; the length-normalization ratio
+    would be 0.0/0.0 = NaN and poison every score (review, round 8) —
+    instead every document scores exactly 0.0."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bm25_topk(docs, "doc_id", "text", ["cat"], k=10).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(out[i].score == 0.0 for i in out)
+
+
 def test_bm25_dotted_terms_and_duplicate_rejection(spark):
     """Terms containing dots are plain tokens, not nested-field paths
     (internal columns are index-keyed); duplicate terms are rejected."""
