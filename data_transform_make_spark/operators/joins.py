@@ -152,6 +152,10 @@ def bucketed_range_join(
             "range predicate is a post-join filter, which drops unmatched "
             "preserved-side rows under outer modes"
         )
+    if not bucket_width > 0:
+        raise ValueError(
+            f"bucketed_range_join: bucket_width must be > 0, got {bucket_width!r}"
+        )
     lb = left.withColumn("__bucket", F.floor(F.col(left_point) / F.lit(bucket_width)).cast("long"))
     buckets = F.sequence(
         F.floor(F.col(right_lo) / F.lit(bucket_width)).cast("long"),

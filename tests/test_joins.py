@@ -112,6 +112,13 @@ def test_bucketed_range_join_refuses_outer_modes(spark):
         bucketed_range_join(left, right, "p", "lo", "hi", 1.0, how="left")
 
 
+def test_bucketed_range_join_rejects_nonpositive_width(spark):
+    left = spark.createDataFrame([(1.0,)], "p double")
+    right = spark.createDataFrame([(0.0, 2.0)], "lo double, hi double")
+    with pytest.raises(ValueError, match="bucket_width"):
+        bucketed_range_join(left, right, "p", "lo", "hi", 0.0)
+
+
 def test_bucketed_range_join_inner_matches_exact_predicate(spark):
     left = spark.createDataFrame(
         [(1, 0.5), (2, 7.5), (3, 99.0)], "id long, p double"
