@@ -121,6 +121,10 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     on the POSITIVE branch (``k > 0``) routes NULL, -1 and 0 alike to
     "no shingles" on both engines.
     """
+    if n < 1:
+        # n=0 would emit an empty ("") shingle per window — every doc
+        # pair would share it and Jaccard-match (review, round 8)
+        raise ValueError(f"shingles: n must be >= 1, got {n!r}")
     toks = tokens(col)
     k = F.size(toks)
     n_sh = F.greatest(k - F.lit(n - 1), F.lit(1))

@@ -209,6 +209,12 @@ def minhash_signatures(
     Documents with no tokens get no signature (dropped; they cannot be
     near-duplicates of anything).
     """
+    if num_hashes < 1:
+        # an empty signature array would band into zero buckets and make
+        # every downstream LSH pass silently empty (review, round 8)
+        raise ValueError(
+            f"minhash_signatures: num_hashes must be >= 1, got {num_hashes!r}"
+        )
     sh = _spread(df, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("__sh"),

@@ -26,6 +26,9 @@ def salted_sum(
     run, no extra column scan, and already aligned with the map-side
     partials. Decomposable aggregates only (sum/count/min/max).
     """
+    if n_salt < 1:
+        # % 0 is an ANSI error (NULL salt legacy) — refuse at the boundary
+        raise ValueError(f"salted_sum: n_salt must be >= 1, got {n_salt!r}")
     salt = F.spark_partition_id() % n_salt
     partial = (
         df.withColumn("__salt", salt)
@@ -71,6 +74,11 @@ def salted_join(
             f"salted_join supports large-side-preserving modes only, got {how!r}: "
             "right/full outer would duplicate unmatched replicated small-side rows"
         )
+    if n_salt < 1:
+        # n_salt=0 would explode an EMPTY salt array on the small side —
+        # every hot-key row silently vanishes from the join (review,
+        # round 8)
+        raise ValueError(f"salted_join: n_salt must be >= 1, got {n_salt!r}")
     if not hot:
         return large.join(small, key, how)
     # NULL-safe split: isin yields NULL (not False) for NULL keys, which

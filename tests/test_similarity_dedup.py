@@ -322,3 +322,20 @@ def test_d5c_corpus_entry_recall_vs_exact(spark, sf_dir):
     assert exact, "planted frame must contain true near-dup pairs"
     assert got <= exact  # precision exact by construction
     assert len(got) / len(exact) >= 0.9  # recall bound on the entry itself
+
+
+def test_degenerate_params_rejected(spark):
+    """shingles(n=0) would give every doc the "" shingle (universal
+    Jaccard match); minhash_signatures(num_hashes=0) would band into
+    zero buckets (silently empty LSH) — both refused at the boundary
+    (review, round 8)."""
+    import pytest
+
+    from data_transform_make_spark.functions.text import shingles
+    from data_transform_make_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n must be"):
+        docs.select(shingles("text", 0))
+    with pytest.raises(ValueError, match="num_hashes"):
+        minhash_signatures(docs, "doc_id", "text", num_hashes=0)

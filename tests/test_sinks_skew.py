@@ -250,6 +250,24 @@ def test_salted_join_rejects_outer_modes(spark):
             salted_join(large, small, "k", ["a"], how=how)
 
 
+def test_salted_helpers_reject_nonpositive_salt(spark):
+    """n_salt=0 would silently DROP every hot-key row in salted_join
+    (empty salt-array explode on the small side) and hit %0 in
+    salted_sum — both refused at the call boundary (review, round 8)."""
+    import pytest
+
+    from data_transform_make_spark.operators.skew import (
+        salted_join,
+        salted_sum,
+    )
+
+    df = spark.createDataFrame([("k", 1)], "key string, v long")
+    with pytest.raises(ValueError, match="n_salt"):
+        salted_join(df, df, "key", hot=["k"], n_salt=0)
+    with pytest.raises(ValueError, match="n_salt"):
+        salted_sum(df, ["key"], "v", n_salt=0)
+
+
 def test_write_sorted_rowgroup_stats(spark, tmp_path):
     from data_transform_make_spark.sources.sinks import write_sorted
 
