@@ -3996,28 +3996,32 @@ def ll3_training_corpus_capped(spark: SparkSession, sf_dir: str, eager: bool = T
 # diff1/hop1/unp1/st8/rc1/gf1, re-certification of the seven sign-safe
 # mulhash twins, and the r4 block + most of the r5 block refreshed.
 #
-# ROUND 8 (registry still FROZEN at 109 — freshness round, per the r7
-# verdict): fronts
-# (a) the 14 oracle-able keys whose newest row is r5 — three rounds
-#     stale by this check — g3, up1, sql1, q4, q6, h1, pc1, cd1, w6,
-#     w7, x2, mf1, arr1, agg1 (all full-sim green every session since),
-# (b) cr1_compression_ratio — the ONE registry key with no driver row
-#     of any kind; it is rows-only by nature (zlib inside an Arrow
-#     pandas_udf has no DuckDB twin) so the row records as the honest
-#     no_oracle marker, held by the python-zlib-exact unit test and the
-#     single-ArrowEvalPython plan test,
-# (c) 28 of the 36 r6-certified keys, oldest block in the registry:
-#     t7, t5, a3, a4_a6, a5, x1, w3, j2, j3, d1, d2, dc1, dc2, n2,
-#     n3b, lm1, pack1, par1, dq1, bm25_1, dt1, st2, st3, st4, st5,
-#     st7, ta1, ta2 —
+# ROUND 8 (registry FROZEN at 109 — freshness round) went 50/50 green:
+# the 14 r5-stale oracle-able keys, cr1's first-ever (honest no_oracle)
+# row, and 28 of the oldest r6-certified keys. After r8 every
+# oracle-able key's newest row was r6 or newer.
+#
+# ROUND 9 (registry still FROZEN at 109 — the treadmill-finisher round,
+# per the r8 verdict): fronts the 16 oldest external rows —
+# (a) the 8 stale rows-only markers (d3/d4/d5b/d5c/n3/mm2/mm4 at r4,
+#     apx1 at r5 — hash-family/approximate/binary by nature; each
+#     capability held by a certified deterministic twin d3b/d4b/d5d,
+#     n3b, mm2b/mm4b already refreshed in-window; the driver re-records
+#     the honest no_oracle marker exactly as cr1 did in r8),
+# (b) the 8 oldest MATCH keys, all r6: q3, q5, n1, mm2b, mm4b, ta5,
+#     tc1, sd1 —
+# then fills with the 27 r7 keys whose PREVIOUS row is oldest:
+# (c) the 6 keys whose r7 row was their first ever (diff1, hop1, unp1,
+#     st8, rc1, gf1),
+# (d) the 12 keys whose previous row was r4 (d5, g1, g2, mm1, mm3, s1,
+#     ta3, ta4, u1, w1, w4, w5),
+# (e) the alphabetically-first 9 of the 18 keys whose previous row was
+#     r5 (ch1, cs1, d2b, d3b, d4b, d5d, d6, ga1, j4) —
 # anchored by the representative core (p1, p4, i1, j1, a1_a2, q1, st1)
 # kept in-window every round as a cross-round regression tripwire.
-# After r8 every oracle-able key's newest row is r6 or newer. Still out
-# (front the r9 window): the 8 remaining r6 keys q3, q5, n1, mm2b,
-# mm4b, ta5, tc1, sd1, plus the rows-only set (apx1 r5; d3/d4/d5b/d5c,
-# n3, mm2/mm4 r4 — hash-family/approximate/binary, each held by an
-# in-window-or-fresh deterministic twin: d3b/d4b/d5d, n2/n3b,
-# mm2b/mm4b) whose markers deserve a refresh next. Keys and query
+# After r9 NO key of any kind has a newest row older than r7 — the
+# freshness treadmill ends; from r10 a steady ~2-round rotation (the 16
+# remaining r7 keys + the oldest r8 block) holds it. Keys and query
 # bodies are NEVER changed by rotation — only dict order.
 _DRIVER_WINDOW = [
     # core anchors (certified every round)
@@ -4028,54 +4032,55 @@ _DRIVER_WINDOW = [
     "a1_a2_order_counter_deltas",
     "q1_pricing_summary",
     "st1_stream_window_agg",
-    # (a) the r5-stale oracle-able block — three rounds without a row
-    "g3_grouping_sets",
-    "up1_unpivot",
-    "sql1_raw_sql",
-    "q4_order_priority",
-    "q6_filter_agg",
-    "h1_having",
-    "pc1_percentiles",
-    "cd1_distinct_agg",
-    "w6_lag_lead",
-    "w7_ntile",
-    "x2_explode_sequence",
-    "mf1_map_explode",
-    "arr1_array_hofs",
-    "agg1_ordered_collect",
-    # (b) first-ever driver row (honest no_oracle marker)
-    "cr1_compression_ratio",
-    # (c) the oldest-certified r6 block: reference-parity ops first
-    # (JS-compat, pipelines, joins), then the LLM-data certifications
-    # (dedup/CC/curation/profiling/BM25), then streaming, then text
-    "t7_js_parse_int",
-    "t5_falsy_defaults",
-    "a3_insufficient_stock",
-    "a4_a6_status_transitions",
-    "a5_counter_pivot",
-    "x1_json_extract",
-    "w3_sessionize",
-    "j2_as_of_join",
-    "j3_range_join",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard",
-    "dc1_dedup_clusters",
-    "dc2_dedup_clusters_capped",
-    "n2_lsh_topk",
-    "n3b_ivf_topk_oracle",
-    "lm1_unigram_freq_score",
-    "pack1_token_budget",
-    "par1_paragraph_dedup",
-    "dq1_column_profile",
-    "bm25_1_query_ranking",
-    "dt1_date_buckets",
-    "st2_stream_dedup",
-    "st3_stream_stateful_counters",
-    "st4_stream_stream_join",
-    "st5_stream_session_window",
-    "st7_stream_static_join",
-    "ta1_text_stats",
-    "ta2_lang_id",
+    # (a) stale rows-only markers — r4/r5 no_oracle rows refreshed
+    "d3_minhash_lsh",
+    "d4_simhash",
+    "d5b_embedding_near_dup_lsh",
+    "d5c_embedding_near_dup_lsh_planted",
+    "n3_ivf_topk",
+    "mm2_media_decode",
+    "mm4_resize",
+    "apx1_sketch_aggs",
+    # (b) the 8 oldest MATCH keys (r6)
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "n1_topk_cosine",
+    "mm2b_media_decode_oracle",
+    "mm4b_resize_oracle",
+    "ta5_repetition",
+    "tc1_line_cleaning",
+    "sd1_substring_dup_report",
+    # (c) first-row-in-r7 keys — one row total, make it two
+    "diff1_snapshot_diff",
+    "hop1_hopping_window_agg",
+    "unp1_unpivot_measures",
+    "st8_stream_hopping_window",
+    "rc1_recursive_hierarchy",
+    "gf1_calendar_gap_fill",
+    # (d) r7 keys whose previous row was r4
+    "d5_embedding_near_dup",
+    "g1_rollup",
+    "g2_cube",
+    "mm1_media_metadata",
+    "mm3_frame_sample",
+    "s1_set_ops",
+    "ta3_quality_score",
+    "ta4_doc_fingerprint",
+    "u1_string_funcs",
+    "w1_running_total",
+    "w4_tumbling_window",
+    "w5_global_topk",
+    # (e) r7 keys whose previous row was r5 (alphabetical head; the
+    # other 9 plus the prev=r6 block lead the r10 rotation)
+    "ch1_doc_chunks",
+    "cs1_correlated_subquery",
+    "d2b_ngram_jaccard_capped",
+    "d3b_minhash_lsh_md5",
+    "d4b_simhash_md5",
+    "d5d_embedding_lsh_oracle",
+    "d6_editdist_recheck",
+    "ga1_pandas_grouped_agg",
+    "j4_semi_anti_join",
 ]
 
 
