@@ -42,6 +42,17 @@ _JS_WS_CLASS = (
 )
 
 
+def _sanitize_expr(c):
+    """Column-level NUL-strip + JS-trim + empty->'{}' (server.js:25,27-30);
+    the expression form so callers can gate it under a ``when`` branch."""
+    cleaned = F.regexp_replace(
+        F.regexp_replace(c, "\\x00", ""),
+        f"^{_JS_WS_CLASS}+|{_JS_WS_CLASS}+$",
+        "",
+    )
+    return F.when(F.length(cleaned) == 0, F.lit("{}")).otherwise(cleaned)
+
+
 def sanitize_body(df: DataFrame, body_col: str = "raw_body") -> DataFrame:
     """NUL-strip + trim + empty->'{}' (server.js:25,27-30).
 
@@ -51,14 +62,7 @@ def sanitize_body(df: DataFrame, body_col: str = "raw_body") -> DataFrame:
     the empty-default and dead-letter as invalid_json where the reference
     returns the '{}' default. The explicit class matches the full JS
     contract (same hazard as ingest_shaper.combine_embroidery_info)."""
-    c = F.col(body_col)
-    cleaned = F.regexp_replace(
-        F.regexp_replace(c, "\\x00", ""),
-        f"^{_JS_WS_CLASS}+|{_JS_WS_CLASS}+$",
-        "",
-    )
-    defaulted = F.when(F.length(cleaned) == 0, F.lit("{}")).otherwise(cleaned)
-    return df.withColumn(body_col, defaulted)
+    return df.withColumn(body_col, _sanitize_expr(F.col(body_col)))
 
 
 def ingest_with_reason(
@@ -84,22 +88,33 @@ def ingest_with_reason(
     """
     # the 5 MB cap applies to the RAW body (server.js:11 — express.text
     # rejects on the request size BEFORE any middleware trims it), so the
-    # oversize flag is computed before sanitize_body replaces the column:
+    # oversize flag is computed before the sanitize replaces the column:
     # a >5 MB whitespace-padded payload must dead-letter, not trim its way
     # under the cap (review, round 8 — the flag previously read the
     # sanitized column)
     oversize_raw = F.octet_length(F.col(body_col)) > MAX_BODY_BYTES
-    sanitized = sanitize_body(df.withColumn("__oversize", oversize_raw), body_col)
+    staged = df.withColumn("__oversize", oversize_raw)
+    # ADVICE r8: an oversize row's reject reason is already decided, so it
+    # skips the sanitize regexp pair and the from_json entirely (CaseWhen
+    # branches evaluate lazily per row — multi-MB regex/parse cost per
+    # dead-letter row saved); its body rides through RAW, which is also
+    # the better dead-letter contract (preserve the payload as received)
+    staged = staged.withColumn(
+        body_col,
+        F.when(F.col("__oversize"), F.col(body_col)).otherwise(
+            _sanitize_expr(F.col(body_col))
+        ),
+    )
     corrupt = "_corrupt_record"
     aug_schema = T.StructType(
         [*schema.fields, T.StructField(corrupt, T.StringType())]
     )
     parsed_col = F.from_json(
-        F.col(body_col),
+        F.when(~F.col("__oversize"), F.col(body_col)),
         aug_schema,
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
     )
-    staged = sanitized.withColumn("__rec", parsed_col)
+    staged = staged.withColumn("__rec", parsed_col)
     bad_parse = F.col(f"__rec.{corrupt}").isNotNull() | F.col("__rec").isNull()
     reason = (
         F.when(F.col("__oversize"), F.lit("payload_too_large"))

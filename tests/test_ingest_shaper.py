@@ -112,6 +112,11 @@ def test_oversize_cap_applies_to_raw_body_pre_trim(spark):
         1: "payload_too_large"
     }
     assert {r.id: r.record.k for r in res.parsed.collect()} == {2: 8}
+    # ADVICE r8: the oversize row's sanitize/parse subtree is skipped —
+    # its body rides through RAW (payload preserved as received), while
+    # parsed-leg bodies are still the sanitized form
+    dead_rows = {r.id: r.raw_body for r in res.dead_letter.collect()}
+    assert dead_rows[1] == pad + '{"k": 7}'
 
 
 def test_observed_ingest_metrics_piggyback_the_action(spark):

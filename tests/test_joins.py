@@ -57,8 +57,10 @@ def test_as_of_join_equal_ts_right_row_is_visible(spark):
 def test_as_of_join_matches_python_reference_randomized(spark):
     """Randomized cross-check against a direct Python as-of reference:
     for each left row, the latest right row with rts <= lts in its key,
-    taken WHOLE (NULL fields included); ties on rts break toward the
-    later row in input order, matching the union-window frame order."""
+    taken WHOLE (NULL fields included). Equal-(key, ts) right rows are
+    NOT filtered out (round 9): the tie CONTRACT says the greatest row
+    by field-wise value-struct comparison wins (NULL fields smallest),
+    so the reference ranks by (rts, struct-order) and must agree."""
     import random
 
     rng = random.Random(8)
@@ -66,30 +68,32 @@ def test_as_of_join_matches_python_reference_randomized(spark):
     left = [
         (rng.choice(keys), rng.randrange(100), i) for i in range(60)
     ]
+    # ts drawn from a small range over 40 rows on 3 keys guarantees
+    # duplicate (key, ts) pairs; small value domains + None exercise the
+    # struct comparison including its NULLS-smallest rule
     right = [
         (
             rng.choice(keys),
             rng.randrange(100),
-            rng.choice([None, rng.randrange(1000)]),
-            rng.randrange(1000),
+            rng.choice([None, rng.randrange(10)]),
+            rng.randrange(10),
         )
         for _ in range(40)
     ]
-    # make right timestamps unique per key: frame order between equal-ts
-    # right rows is not a contract (last() over an untotal order), so the
-    # reference would be comparing unspecified behavior
-    seen = set()
-    right = [
-        r
-        for r in right
-        if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
-    ]
+    assert len({(r[0], r[1]) for r in right}) < len(right), (
+        "fixture must contain equal-(key, ts) right rows to exercise the "
+        "tie contract"
+    )
+
+    def struct_key(r):
+        # Spark struct ordering: field by field, NULL smallest
+        return tuple((v is not None, v) for v in (r[2], r[3]))
 
     def expect(k, lts):
         cands = [r for r in right if r[0] == k and r[1] <= lts]
         if not cands:
             return (None, None)
-        best = max(cands, key=lambda r: r[1])
+        best = max(cands, key=lambda r: (r[1], struct_key(r)))
         return (best[2], best[3])
 
     ldf = spark.createDataFrame(left, "key string, lts long, lid long")
@@ -100,6 +104,51 @@ def test_as_of_join_matches_python_reference_randomized(spark):
     got = {r.lid: (r.a, r.b) for r in out.collect()}
     want = {lid: expect(k, lts) for (k, lts, lid) in left}
     assert got == want
+
+
+def test_as_of_join_explicit_tiebreaker_overrides_struct_order(spark):
+    """With tiebreaker=<col>, the equal-ts winner is the MAX of that
+    column even when struct order would pick the other row."""
+    left = spark.createDataFrame([("k1", 5)], "key string, lts long")
+    right = spark.createDataFrame(
+        [("k1", 5, 99, 1), ("k1", 5, 1, 2)],
+        "key string, rts long, a long, seq long",
+    )
+    rows = as_of_join(
+        left, right, ["key"], "lts", "rts", ["a"], tiebreaker="seq"
+    ).collect()
+    # struct order on ["a"] alone would pick a=99; seq=2 wins instead
+    assert rows[0].a == 1
+
+
+def test_as_of_join_refuses_unorderable_default_tiebreak(spark):
+    """MapType value columns make the whole-struct tie-break key
+    unorderable — refused loudly instead of a plan-dependent winner."""
+    left = spark.createDataFrame([("k1", 5)], "key string, lts long")
+    right = spark.createDataFrame(
+        [("k1", 1, {"x": 1})], "key string, rts long, m map<string,long>"
+    )
+    with pytest.raises(ValueError, match="MapType"):
+        as_of_join(left, right, ["key"], "lts", "rts", ["m"])
+    # an explicit orderable tiebreaker unlocks the same schema
+    rows = as_of_join(
+        left, right, ["key"], "lts", "rts", ["m"], tiebreaker="rts"
+    ).collect()
+    assert rows[0].m == {"x": 1}
+
+
+def test_as_of_join_non_identifier_value_column_names(spark):
+    """ADVICE r8: the null-struct type is built programmatically, so
+    right value columns whose names are not plain identifiers (space,
+    hyphen, colon) survive — the old DDL-string cast broke parsing."""
+    left = spark.createDataFrame([("k1", 5)], "key string, lts long")
+    right = spark.createDataFrame(
+        [("k1", 1, 10, 20)], ["key", "rts", "a b", "c-d:e"]
+    )
+    rows = as_of_join(
+        left, right, ["key"], "lts", "rts", ["a b", "c-d:e"]
+    ).collect()
+    assert (rows[0]["a b"], rows[0]["c-d:e"]) == (10, 20)
 
 
 def test_bucketed_range_join_refuses_outer_modes(spark):
