@@ -96,6 +96,10 @@ def merge_upsert_path(
     """
     if update_cols is None:
         update_cols = [c for c in source.columns if c not in keys]
+    # before ANY read of the path (Delta probe or parquet analysis):
+    # restore the sole surviving copy of a mid-swap crash, else the
+    # spark.read below fails before _swap_parquet's own recovery can run
+    _recover_swap_debris(path)
     try:
         from delta.tables import DeltaTable  # type: ignore
 
@@ -124,6 +128,26 @@ def merge_upsert_path(
     return "parquet"
 
 
+def _recover_swap_debris(path: str) -> bool:
+    """If a previous :func:`_swap_parquet` died between its two renames —
+    base MISSING, the only surviving copy at ``<path>__old`` — rename the
+    survivor back into place. Returns True when a recovery happened.
+
+    Idempotent and safe to call at any time; callers whose DATAFRAME
+    LINEAGE reads ``path`` (merge_upsert_path, compact_small_files) must
+    call this BEFORE ``spark.read.parquet(path)`` (advice, round 8): the
+    recovery inside _swap_parquet runs after ``df.write``, which is too
+    late when the read itself fails at analysis on the missing base."""
+    import os
+
+    base = path.rstrip("/")
+    old = base + "__old"
+    if not os.path.exists(base) and os.path.exists(old):
+        os.rename(old, base)
+        return True
+    return False
+
+
 def _swap_parquet(df, path: str, tmp_suffix: str) -> None:
     """Write ``df`` beside ``path`` then swap it in — the shared
     read-modify-replace tail of merge_upsert_path and
@@ -140,31 +164,34 @@ def _swap_parquet(df, path: str, tmp_suffix: str) -> None:
     swap) instead of the previous rmtree-then-rename sequence, whose
     crash window held NO copy at ``path`` and no recoverable one
     either. Renames are same-directory, so the cross-filesystem
-    EXDEV failure mode cannot split the pair."""
+    EXDEV failure mode cannot split the pair.
+
+    Crash recovery is hoisted to the TOP (advice, round 8; supersedes
+    the round-7 post-write placement): a previous swap that died between
+    its renames left base missing and the survivor at ``__old`` —
+    renaming it back BEFORE ``df.write`` means a ``df`` whose lineage
+    reads ``path`` lazily still resolves against the recovered table."""
     import os
     import shutil
 
     base = path.rstrip("/")
     tmp = base + tmp_suffix
     old = base + "__old"
+    _recover_swap_debris(base)
     try:
         df.write.mode("overwrite").parquet(tmp)
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
-    # crash-recovery ordering (advice, round 7): a previous swap that died
-    # between its two renames leaves base MISSING and the only surviving
-    # copy at __old. Deleting __old unconditionally here would destroy
-    # that copy and then fail the rename anyway — so __old is only
-    # treated as stranded debris when base exists; when base is missing,
-    # the survivor is renamed back into place first (auto-recovery), and
-    # the swap proceeds against the recovered table.
-    if os.path.exists(base):
-        # a stranded __old from a previous COMPLETED-then-crashed swap
-        # (died before its final delete) would fail the rename below
-        shutil.rmtree(old, ignore_errors=True)
-    elif os.path.exists(old):
-        os.rename(old, base)
+    if not os.path.exists(base):
+        # fresh target (no previous table, no survivor): nothing to swap
+        # aside — the write IS the table
+        os.rename(tmp, base)
+        return
+    # a stranded __old from a previous COMPLETED-then-crashed swap (died
+    # before its final delete) would fail the rename below; base exists,
+    # so __old is genuinely debris here
+    shutil.rmtree(old, ignore_errors=True)
     os.rename(base, old)
     os.rename(tmp, base)
     shutil.rmtree(old)
@@ -282,6 +309,10 @@ def compact_small_files(
     import glob
     import os
 
+    # restore a mid-swap crash survivor BEFORE sizing/reading the path
+    # (see _recover_swap_debris) — otherwise the glob sees nothing and
+    # the read fails at analysis
+    _recover_swap_debris(path)
     total = sum(
         os.path.getsize(p) for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )

@@ -300,6 +300,17 @@ def _checkpointed_state_pipeline(
         if os.path.exists(marker):
             with open(marker) as fh:
                 bound = fh.read().strip()
+            # migration shim (advice, round 8): markers written BEFORE
+            # the r8 abspath→realpath switch hold the abspath spelling;
+            # through a symlinked checkpoint path that differs from the
+            # realpath, and a legitimate in-flight restart (epoch dirs
+            # present) would be refused on upgrade. An old-format marker
+            # that abspath-matches THIS checkpoint is the same lineage —
+            # accept it and rewrite it in place in the new format.
+            if bound != lineage and bound == os.path.abspath(checkpoint_dir):
+                with open(marker, "w") as fh:
+                    fh.write(lineage)
+                bound = lineage
             if bound != lineage:
                 # the refusal exists to protect REPLAYABLE state (epoch
                 # dirs whose ids would collide with the new lineage's).

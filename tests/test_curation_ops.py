@@ -570,6 +570,62 @@ class TestReliableCheckpoint:
         assert getattr(sc, "_dtm_checkpoint_root", None) is None
 
 
+    def test_mid_iteration_foreign_set_is_not_clobbered_on_exit(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Verdict r8: a CONCURRENT caller flipping the session-global
+        checkpoint dir MID-ITERATION is an unclosable race (cuts after
+        the flip land in the foreign dir but stay valid checkpoint data,
+        so the result is unaffected) — but the exit path must respect
+        last-writer-wins: the entry-time dir is NOT restored over the
+        newer foreign set, and the idempotence memo is cleared so the
+        next same-root call re-sets instead of trusting a stale skip."""
+        # patch the CLASSIC DataFrame: in pyspark 4 the public
+        # pyspark.sql.DataFrame is the abstract parent and instances
+        # override checkpoint in pyspark.sql.classic.dataframe.DataFrame
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        from data_transform_make_spark.operators.graph import (
+            connected_components,
+        )
+
+        sc = spark.sparkContext
+        ours = str(tmp_path / "ours")
+        foreign_root = str(tmp_path / "foreign")
+        sc.setCheckpointDir(str(tmp_path / "entry"))
+        sc._dtm_checkpoint_root = None  # entry dir belongs to someone else
+
+        state = {"flipped": False, "foreign": None}
+        orig_checkpoint = DataFrame.checkpoint
+
+        def flip_then_checkpoint(self, eager=True):
+            # the concurrent caller's set lands between two of our cuts
+            if not state["flipped"]:
+                state["flipped"] = True
+                sc.setCheckpointDir(foreign_root)
+                state["foreign"] = sc.getCheckpointDir()
+            return orig_checkpoint(self, eager=eager)
+
+        monkeypatch.setattr(DataFrame, "checkpoint", flip_then_checkpoint)
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        out = connected_components(
+            edges, checkpoint_dir=ours, small_graph_threshold=0
+        )
+        monkeypatch.undo()
+        # the result is unaffected by where the post-flip cuts landed
+        got = {r["id"]: r["cluster_id"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        assert state["flipped"]
+        # last writer wins: the foreign set survives the exit (the
+        # entry-time dir is NOT put back over it)...
+        assert sc.getCheckpointDir() == state["foreign"]
+        # ...and the memo is cleared, so a next same-root call re-sets
+        assert getattr(sc, "_dtm_checkpoint_root", None) is None
+        assert getattr(sc, "_dtm_checkpoint_set", None) is None
+
+
 class TestDomainMixing:
     def test_fractions_are_deterministic_and_proportional(self, spark):
         from data_transform_make_spark.plans.training_corpus import (

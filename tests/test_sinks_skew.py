@@ -163,6 +163,49 @@ def test_swap_parquet_retry_auto_recovers_sole_surviving_copy(
     assert not os.path.exists(path + "__old") and not glob.glob(path + "__tmp")
 
 
+def test_merge_upsert_path_recovers_mid_swap_crash_state(spark, tmp_path):
+    """ADVICE r8: the __old→base auto-recovery used to run only inside
+    _swap_parquet AFTER df.write — but merge_upsert_path's own
+    ``spark.read.parquet(path)`` fails at ANALYSIS when base is missing,
+    so the advertised retry-after-mid-swap-crash never engaged for it.
+    The recovery is now hoisted to the entry of merge_upsert_path."""
+    import os
+
+    from data_transform_make_spark.sources.sinks import merge_upsert_path
+
+    path = str(tmp_path / "inv")
+    spark.createDataFrame(
+        [("I1", 10), ("I2", 5)], "inventory_id string, stock int"
+    ).write.parquet(path)
+    # the mid-swap crash window's on-disk state
+    os.rename(path, path + "__old")
+
+    source = spark.createDataFrame([("I1", 8)], "inventory_id string, stock int")
+    ran = merge_upsert_path(spark, path, source, ["inventory_id"])
+    assert ran == "parquet"
+    out = {r.inventory_id: r.stock for r in spark.read.parquet(path).collect()}
+    assert out == {"I1": 8, "I2": 5}
+    assert not os.path.exists(path + "__old")
+
+
+def test_compact_small_files_recovers_mid_swap_crash_state(spark, tmp_path):
+    """Same ADVICE r8 boundary for the other lineage-reads-base caller:
+    compact_small_files sizes and reads the path before swapping, so it
+    must restore the survivor first."""
+    import os
+
+    from data_transform_make_spark.sources.sinks import compact_small_files
+
+    path = str(tmp_path / "t")
+    spark.range(0, 10).repartition(8).write.parquet(path)
+    os.rename(path, path + "__old")
+
+    n = compact_small_files(spark, path)
+    assert n == 1  # tiny table compacts to one file
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == list(range(10))
+    assert not os.path.exists(path + "__old")
+
+
 def test_salted_sum_equals_plain(spark, sf_dir):
     from data_transform_make_spark.sources.loader import load_table
 

@@ -594,6 +594,52 @@ def test_replay_guard_accepts_symlinked_checkpoint_respelling(spark, tmp_path):
     assert (r["I1"].general_stock_qty, r["I1"].qty_office) == (10, 0)
 
 
+def test_replay_guard_migrates_pre_realpath_marker(spark, tmp_path):
+    """ADVICE r8: markers written BEFORE the abspath→realpath switch hold
+    the abspath spelling; through a symlinked checkpoint path that
+    differs from the realpath, so a legitimate restart of an IN-FLIGHT
+    job (epoch dirs present — the empty-rebind path cannot save it) was
+    refused on upgrade. An old-format marker that abspath-matches the
+    checkpoint is accepted and rewritten in place in the new format."""
+    import os
+
+    src = str(tmp_path / "webhooks")
+    state_dir = str(tmp_path / "state")
+    cp = str(tmp_path / "cp")
+    link = str(tmp_path / "cp_link")
+    os.makedirs(cp)
+    os.symlink(cp, link)
+    inventory = spark.createDataFrame([("I1", "Tote", 10, 0)], INVENTORY)
+    spark.createDataFrame(
+        [(1, "Approved", [("I1", "Tote", "3")])], WEBHOOKS
+    ).coalesce(1).write.parquet(src)
+
+    def stream():
+        return spark.readStream.schema(WEBHOOKS).parquet(src)
+
+    # first run via the SYMLINK spelling commits an epoch (in-flight job)
+    streaming_order_pipeline(
+        spark, stream(), inventory, state_dir=state_dir, checkpoint_dir=link
+    )
+    assert any(d.startswith("epoch_") for d in os.listdir(state_dir))
+    # simulate the pre-r8 marker format: abspath of the symlink spelling
+    marker = os.path.join(state_dir, "_lineage")
+    legacy = os.path.abspath(link)
+    assert legacy != os.path.realpath(link)  # the upgrade trap is real
+    with open(marker, "w") as fh:
+        fh.write(legacy)
+
+    # restart via the same spelling: same lineage — must not refuse
+    post = streaming_order_pipeline(
+        spark, stream(), inventory, state_dir=state_dir, checkpoint_dir=link
+    )
+    r = {row.inventory_id: row for row in post.collect()}
+    assert (r["I1"].general_stock_qty, r["I1"].qty_office) == (10, 0)
+    # and the marker is migrated to the new (realpath) format in place
+    with open(marker) as fh:
+        assert fh.read().strip() == os.path.realpath(link)
+
+
 def test_replay_guard_inert_without_checkpoint(spark, tmp_path):
     """Without a checkpoint, every run restarts at epoch 0 — the replay
     guard must NOT fire off a leftover state_dir, or a second run's new
