@@ -22,9 +22,14 @@ Execution shape (the 100 TB design point):
     dl projection is MAP-ONLY, no explode, no (doc, term) shuffle at all.
   * Corpus stats (N, Σdl, per-term df) are ONE single-row aggregate over
     that narrow projection, broadcast back with a crossJoin — no second
-    wide shuffle. The projection is computed twice (once under the stats
-    agg, once under the score map); at 100 TB checkpoint the ~40-byte/doc
-    projection to Parquet and read it twice — the text is tokenized once.
+    wide shuffle. The projection is MATERIALIZED once (eager
+    ``localCheckpoint``) and read twice — under the stats agg and under
+    the score map — so the text is tokenized and the per-term HOF counts
+    run ONCE (round 9: the r8 scaling table's 6.2× outlier profiled to
+    exactly this doubled pass — the fold measured 5.55 s → 2.94 s at
+    sf1.0, ratio 6.2× → ~3.5×, results bit-identical; SCALE.md "bm25
+    profile"). At 100 TB swap the local checkpoint for a reliable one
+    (or a Parquet round-trip) — ~40 bytes/doc either way.
   * The per-document score is a FIXED expression tree (terms folded
     left-to-right in ``query_terms`` order), not a shuffled SUM — float
     addition order is pinned, so the score is reproducible under any
@@ -50,8 +55,16 @@ def bm25_topk(
     k: int = 20,
     k1: float = 1.2,
     b: float = 0.75,
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents by rational-idf BM25 against ``query_terms``.
+
+    ``materialize=True`` (default) eagerly ``localCheckpoint``s the
+    narrow (id, dl, tf...) projection so its scan + tokenize + per-term
+    HOF counts run once, not once per consumer (the stats agg and the
+    score map both read it). ``False`` keeps the fully-lazy two-pass
+    plan — for callers composing bm25 into a larger lazy pipeline or
+    running where executor storage for the checkpoint is unavailable.
 
     Output: ``(id, dl, tf_<term>..., score)`` ordered by
     ``(score DESC, id)``. ``dl`` is the whitespace-token document length;
@@ -91,6 +104,10 @@ def bm25_topk(
     base = df.select(
         F.col(id_col), F.size(tk).cast("long").alias("dl"), *tf_cols
     )
+    if materialize:
+        # one tokenize+tf pass total, not one per consumer (profiled:
+        # the doubled pass WAS the r8 6.2× scaling outlier)
+        base = base.localCheckpoint(eager=True)
 
     stats = base.agg(
         F.count(F.lit(1)).alias("__n"),

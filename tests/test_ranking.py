@@ -142,3 +142,23 @@ def test_bm25_bit_exact_python_reference(spark):
             s = idf * ((tf * k1p1) / (tf + k1 * (one_minus_b + b * ratio)))
             score = s if score is None else score + s
         assert got[i] == score, i  # EXACT equality, no approx
+
+
+def test_bm25_materialize_modes_agree(spark):
+    """The eager localCheckpoint fold (round 9 — removing the doubled
+    tokenize+tf pass, the r8 6.2x scaling outlier) must be a pure
+    execution-strategy choice: bit-identical rows either way."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark table scan merge table"),
+            (2, "table table"),
+            (3, "merge scan"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    args = (docs, "doc_id", "text", ["table", "scan", "merge"])
+    a = [tuple(r) for r in bm25_topk(*args, materialize=True).collect()]
+    b = [tuple(r) for r in bm25_topk(*args, materialize=False).collect()]
+    assert a == b and len(a) == 5
