@@ -16,6 +16,12 @@ def _c(col: Column | str) -> Column:
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product. MISMATCHED lengths yield NULL, not a truncated
+    product: ``zip_with`` pads the shorter array with NULL, the padded
+    product is NULL, and the fold propagates it — so a malformed vector
+    can never contribute a silently-wrong partial score (in top-k
+    consumers the NULL cosine ranks last; it never outranks a real one).
+    """
     prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 

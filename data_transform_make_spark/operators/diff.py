@@ -54,14 +54,29 @@ def snapshot_diff(
     if not content_cols:
         raise ValueError("snapshot_diff: need at least one content column")
 
-    def _enc(c: str):
-        col = F.col(c).cast("string")
+    from pyspark.sql import types as T
+
+    def _enc(df: DataFrame, c: str):
+        # per-type injective byte encoding (review, round 9): a plain
+        # cast("string") renders array<string> WITHOUT element quoting,
+        # so ["1, 2"] and ["1", "2"] both print "[1, 2]" — two different
+        # values, one digest, a changed record silently classified
+        # unchanged. Nested types go through to_json (escaped, injective
+        # for JSON-representable values); binary hashes its raw bytes
+        # (the string cast is lossy on non-UTF-8); atomics keep the cast.
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+            col = F.to_json(F.col(c))
+        elif isinstance(dt, T.BinaryType):
+            col = F.col(c)
+        else:
+            col = F.col(c).cast("string")
         return F.coalesce(F.sha2(col, 256), F.lit("0" * 64))
 
     def _h(df: DataFrame, alias: str) -> DataFrame:
         return df.select(
             id_col,
-            F.sha2(F.concat(*[_enc(c) for c in content_cols]), 256).alias(
+            F.sha2(F.concat(*[_enc(df, c) for c in content_cols]), 256).alias(
                 alias
             ),
         )

@@ -53,6 +53,11 @@ def profile_columns(
     """
     if not cols:
         raise ValueError("profile_columns: need at least one column")
+    if len(set(cols)) != len(cols):
+        # a duplicated name merges into ONE report row whose counts are
+        # silently doubled (both stacked structs share the col_name key)
+        dupes = sorted({c for c in cols if cols.count(c) > 1})
+        raise ValueError(f"profile_columns: duplicate columns {dupes}")
     if exact:
         stacked = df.select(
             F.explode(

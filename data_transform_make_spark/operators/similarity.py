@@ -64,7 +64,22 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def hyperplane_bucket(vec_col, planes: list[list[float]]):
-    """Bit-pack sign(v·h_i) into a long bucket id — a JVM-side expression."""
+    """Bit-pack sign(v·h_i) into a long bucket id — a JVM-side expression.
+
+    At most 63 planes (review, round 9): Java ``shiftleft`` wraps its
+    shift amount mod 64, so bit 64+ would silently ALIAS onto low bits —
+    wrong buckets, wrong Hamming distances, near-dup pairs one bit apart
+    silently missed (and bit 63 is excluded too: a query-side bucket
+    with the sign bit set cannot be injected as a long literal). This
+    caps every hyperplane-LSH caller (lsh_bucket_topk,
+    dedup.embedding_near_dup_pairs_lsh) at the one central chokepoint.
+    """
+    if len(planes) > 63:
+        raise ValueError(
+            f"hyperplane_bucket: at most 63 planes fit a signed long "
+            f"bucket, got {len(planes)} (bit 64+ would silently alias "
+            "onto low bits)"
+        )
     from ..functions.vectors import dot
 
     bucket = F.lit(0).cast("long")
@@ -94,6 +109,12 @@ def lsh_bucket_topk(
     the scan — this function expresses the same plan on an unpartitioned df
     (the bucket filter still prunes before any cosine math runs).
     """
+    if multiprobe_hamming < 0:
+        raise ValueError(
+            f"lsh_bucket_topk: multiprobe_hamming must be >= 0, got "
+            f"{multiprobe_hamming} (a negative radius matches NO bucket — "
+            "silently empty results, not a smaller probe)"
+        )
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes, seed)
     bucketed = df.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
@@ -131,6 +152,13 @@ def assign_ivf_cluster(vec_col, centroids: list[list[float]]):
     map-only — the scan path stays Python-free."""
     from ..functions.vectors import dot
 
+    if not centroids:
+        raise ValueError(
+            "assign_ivf_cluster: centroids is empty — array_min over zero "
+            "candidates is NULL, so every row would silently assign to no "
+            "cluster and every probe would return empty"
+        )
+
     def sq_dist(c: list[float]):
         cc = F.array(*[F.lit(x) for x in c])
         diff_dot = dot(vec_col, vec_col) - 2 * dot(vec_col, cc) + sum(x * x for x in c)
@@ -165,6 +193,11 @@ def ivf_topk(
     ``partitionBy("ivf_cluster")`` it prunes partitions at the scan.
     ``id_col``: deterministic tie-break column (default: first column).
     """
+    if nprobe < 1:
+        raise ValueError(
+            f"ivf_topk: nprobe must be >= 1, got {nprobe} (zero posting "
+            "lists probed is a silently-empty result, not a cheaper query)"
+        )
     if centroids is None:
         centroids = train_ivf_centroids(df, vec_col, n_clusters, seed)
 

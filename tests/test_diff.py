@@ -114,3 +114,38 @@ def test_snapshot_diff_matches_set_reference_property(spark):
         assert got == ref(old, new)
 
     check()
+
+
+def test_snapshot_diff_array_columns_injective_encoding(spark):
+    """Round-9 review: cast("string") renders array<string> without
+    element quoting, so ["1, 2"] and ["1", "2"] printed identically —
+    one digest, a CHANGED record silently classified unchanged. Nested
+    types now encode via to_json (escaped, injective)."""
+    from data_transform_make_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, ["1, 2"]), (2, ["a"])], "id long, tags array<string>"
+    )
+    new = spark.createDataFrame(
+        [(1, ["1", "2"]), (2, ["a"])], "id long, tags array<string>"
+    )
+    got = {r.id: r.status for r in snapshot_diff(old, new, "id", ["tags"]).collect()}
+    assert got == {1: "changed", 2: "unchanged"}
+
+
+def test_snapshot_diff_binary_columns_hash_raw_bytes(spark):
+    """Binary content digests its raw bytes (a string cast is lossy on
+    non-UTF-8 payloads — two different blobs could mangle to the same
+    replacement-charred text)."""
+    from data_transform_make_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xfe")), (2, bytearray(b"same"))],
+        "id long, blob binary",
+    )
+    new = spark.createDataFrame(
+        [(1, bytearray(b"\xfd\xfc")), (2, bytearray(b"same"))],
+        "id long, blob binary",
+    )
+    got = {r.id: r.status for r in snapshot_diff(old, new, "id", ["blob"]).collect()}
+    assert got == {1: "changed", 2: "unchanged"}

@@ -83,3 +83,11 @@ def test_empty_frame_yields_zero_rows_per_column_both_paths(spark):
             r = out[c]
             assert (r.n_rows, r.n_nulls, r.n_distinct) == (0, 0, 0)
             assert r.min_val is None and r.max_val is None
+
+
+def test_duplicate_cols_rejected(frame):
+    """Round-9 review: a duplicated name merges into ONE report row whose
+    counts are silently doubled (both stacked structs share the col_name
+    group key)."""
+    with pytest.raises(ValueError, match="duplicate"):
+        profile_columns(frame, ["status", "status"])

@@ -339,3 +339,58 @@ def test_degenerate_params_rejected(spark):
         docs.select(shingles("text", 0))
     with pytest.raises(ValueError, match="num_hashes"):
         minhash_signatures(docs, "doc_id", "text", num_hashes=0)
+
+
+def test_lsh_ivf_boundary_params_rejected(spark):
+    """Round-9 review: the remaining silently-wrong/silently-empty
+    similarity boundaries. n_planes > 63 would alias bucket bits (Java
+    shiftleft wraps mod 64 — wrong Hamming distances, one-bit-apart
+    pairs missed); nprobe < 1, empty centroids and a negative multiprobe
+    radius each return EMPTY results instead of erroring."""
+    import pytest
+
+    from data_transform_make_spark.operators.dedup import (
+        embedding_near_dup_pairs_lsh,
+    )
+    from data_transform_make_spark.operators.similarity import (
+        assign_ivf_cluster,
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id long, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="63 planes"):
+        lsh_bucket_topk(vecs, "vec", [1.0, 0.0], n_planes=64)
+    with pytest.raises(ValueError, match="63 planes"):
+        embedding_near_dup_pairs_lsh(vecs, "id", "vec", n_planes=64, dim=2)
+    with pytest.raises(ValueError, match="multiprobe_hamming"):
+        lsh_bucket_topk(vecs, "vec", [1.0, 0.0], multiprobe_hamming=-1)
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_topk(vecs, "vec", [1.0, 0.0], nprobe=0, centroids=[[0.0, 0.0]])
+    with pytest.raises(ValueError, match="centroids is empty"):
+        assign_ivf_cluster(None, [])
+    # 63 planes is the documented maximum and must still work
+    out = lsh_bucket_topk(
+        vecs, "vec", [1.0, 0.0], k=1, n_planes=63, id_col="id"
+    ).collect()
+    assert out and out[0].id == 1
+
+
+def test_dot_mismatched_dims_null_never_outranks(spark):
+    """A malformed (shorter) vector must yield a NULL cosine that ranks
+    LAST in top-k — never a silently-truncated partial score that could
+    outrank a real match (documented in functions/vectors.py)."""
+    from data_transform_make_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [0.6, 0.8]), (2, [1.0])], "id long, vec array<double>"
+    )
+    out = brute_force_topk(vecs, "vec", [1.0, 0.0], k=2, id_col="id").collect()
+    # id 2's truncated dot with [1.0] alone would be 1.0 — a perfect
+    # (wrong) score; instead its cosine is NULL and it sorts below id 1
+    assert [r.id for r in out] == [1, 2]
+    assert out[0].cosine is not None and out[1].cosine is None
