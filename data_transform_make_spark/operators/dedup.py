@@ -489,6 +489,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
@@ -518,21 +519,32 @@ def ngram_jaccard_pairs(
     added) — exact for every pair whose shared shingles are all rarer than
     the cap. Default ``None`` = exact; per-doc set sizes are computed
     before the cap either way, so |A|/|B| stay exact.
+
+    ``materialize=True`` (default) eagerly ``localCheckpoint``s the
+    shingled projection — the bm25-class fold, round 9: the tokenize +
+    shingle HOF subtree otherwise runs THREE times (once exploded for
+    the posting lists, and the map-only ``sizes`` lineage once per
+    id_a/id_b join; no exchange exists for ReuseExchange to dedupe).
+    Measured same-session A/B: 5.44 → 3.82 s at sf1.0 (−30%, output
+    identical), flat at sf0.1 (SCALE.md "d2 fold"). The storage trade is
+    the dec1-documented recipe — the projection is ~the tokenized corpus
+    — so ``False`` keeps the fully-lazy recompute plan when executor
+    storage is tighter than compute.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     spread = _spread(df, id_col)
-    sh = spread.select(
+    proj = spread.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("__sh"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__arr"),
     )
+    if materialize:
+        proj = proj.localCheckpoint(eager=True)
+    sh = proj.select("__id", F.explode("__arr").alias("__sh"))
     # per-doc set size is a map-only expression over the un-exploded array —
     # no groupBy shuffle and no second pass over the exploded shingle table
     # (it used to be sh.groupBy(__id).count(): one extra shuffle keyed on the
     # doc id plus a full recompute of the explode subtree, at every scale)
-    sizes = spread.select(
-        F.col(id_col).alias("__id"),
-        F.size(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("__n"),
-    )
+    sizes = proj.select("__id", F.size("__arr").alias("__n"))
     pair_src = sh
     if max_df is not None:
         hot = (
