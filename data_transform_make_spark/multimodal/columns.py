@@ -179,6 +179,11 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """Feature-extraction stage (STUB kernel, real plumbing): deterministic
     pseudo-embedding from the payload digest; Arrow-batched."""
 
+    if dim < 1:
+        # dim=0 would emit empty feature arrays for every row — a
+        # silently useless embedding column, not a smaller one
+        raise ValueError(f"extract_features: dim must be >= 1, got {dim!r}")
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             def feat(p: bytes | None) -> list[float]:
@@ -210,6 +215,10 @@ def resize_images(
     ``mapInPandas``; output carries both source and target dims so
     downstream filters (e.g. drop tiny sources) stay in-plan."""
     tw, th = target
+    if tw < 1 or th < 1:
+        # a zero-area target silently yields b'' for every row under the
+        # stub (and a Pillow error per row under the real kernel)
+        raise ValueError(f"resize_images: target must be >= 1x1, got {target!r}")
     decode = _pick_kernel(kernel)
     use_pil = decode is _pil_decode
 
@@ -263,6 +272,18 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
     """Frame-sampling stage (video analog): emit N pseudo-frames per payload
     (byte-slices in the stub; ffmpeg keyframes in a real deployment).
     1->N row expansion inside mapInPandas — the UDTF-ish shape."""
+    if every_n_bytes < 1:
+        # 0 divides the payload length inside the EXECUTOR task — a
+        # confusing remote ZeroDivisionError instead of a boundary check
+        raise ValueError(
+            f"sample_frames: every_n_bytes must be >= 1, got {every_n_bytes!r}"
+        )
+    if max_frames < 1:
+        # min(0, ...) emits zero frames for every payload — silently
+        # empty output, not a tighter cap
+        raise ValueError(
+            f"sample_frames: max_frames must be >= 1, got {max_frames!r}"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -105,6 +105,15 @@ def test_as_of_join_matches_python_reference_randomized(spark):
     want = {lid: expect(k, lts) for (k, lts, lid) in left}
     assert got == want
 
+    # partition invariance — the point of the tie CONTRACT: the winner
+    # must not depend on how either side happens to be partitioned
+    for lp, rp in ((1, 7), (7, 1), (5, 5)):
+        out_p = as_of_join(
+            ldf.repartition(lp), rdf.repartition(rp, "rts"),
+            ["key"], "lts", "rts", ["a", "b"],
+        )
+        assert {r.lid: (r.a, r.b) for r in out_p.collect()} == want, (lp, rp)
+
 
 def test_as_of_join_explicit_tiebreaker_overrides_struct_order(spark):
     """With tiebreaker=<col>, the equal-ts winner is the MAX of that

@@ -101,3 +101,30 @@ def test_real_pil_decode_when_available(spark):
            for r in decode_images(media, kernel="pil").collect()}
     assert out[1] == (12, 7, 3)
     assert out[2] == (0, 0, 0)
+
+
+def test_degenerate_multimodal_params_rejected(spark):
+    """Round-9 review (the r8 degenerate-parameter class): every_n_bytes=0
+    divided the payload length inside the executor task (remote
+    ZeroDivisionError); max_frames=0, dim=0 and a zero-area resize target
+    each produced silently-empty output."""
+    import pytest
+
+    from data_transform_make_spark.multimodal.columns import (
+        extract_features,
+        resize_images,
+        sample_frames,
+        text_to_media,
+    )
+
+    media = text_to_media(
+        spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    )
+    with pytest.raises(ValueError, match="every_n_bytes"):
+        sample_frames(media, every_n_bytes=0)
+    with pytest.raises(ValueError, match="max_frames"):
+        sample_frames(media, max_frames=0)
+    with pytest.raises(ValueError, match="dim"):
+        extract_features(media, dim=0)
+    with pytest.raises(ValueError, match="target"):
+        resize_images(media, target=(0, 32))
