@@ -117,14 +117,59 @@ def main() -> None:
         os.remove(edst)
     pq.write_table(pa.Table.from_pylist(eout, schema=eschema), edst)
 
-    # the other tables are untouched at this scale point; symlink them so
-    # load_table(spark, OUT_DIR, name) resolves for every table name
+    # relational facts x10 (round 9 — the relational-core scaling tier):
+    # replica i shifts the FACT keys into disjoint ranges while the
+    # DIMENSION tables stay fixed — the standard warehouse scaling shape
+    # (10x orders per customer, 10x lineitems per part/supplier). Shifts:
+    #   orders.o_orderkey / lineitem.l_orderkey += i * 10_000_000
+    #     (FK-consistent; above the sf0.1 max key 149_999)
+    #   events.event_id += i * 9_700_000 — a multiple of 50*97, so the
+    #     i1 corrupt/blank body patterns (event_id % 50 / % 97) replicate
+    #     EXACTLY per replica and the ingest legs scale 10.00x
+    #   events.user_id += i * 10_000 — disjoint user universes, so
+    #     sessionization/as-of structure is 10 isomorphic copies, not
+    #     10x-denser per-user streams (which would MERGE sessions)
+    # Vectorized pyarrow column arithmetic — never to_pylist on 6M rows.
+    import pyarrow.compute as pc
+
+    def _replicate(name: str, shifts: dict[str, int]) -> int:
+        t10 = pq.read_table(os.path.join(SRC, name))
+        parts = []
+        for i in range(REPLICAS):
+            t_i = t10
+            for col, stride in shifts.items():
+                idx = t_i.schema.get_field_index(col)
+                shifted = pc.add(t_i.column(col), pa.scalar(i * stride, t_i.schema.field(col).type))
+                t_i = t_i.set_column(idx, t_i.schema.field(col), shifted)
+            parts.append(t_i)
+        full = pa.concat_tables(parts)
+        dst = os.path.join(OUT_DIR, name)
+        if os.path.islink(dst):
+            os.remove(dst)
+        pq.write_table(full, dst)
+        return full.num_rows
+
+    n_orders = _replicate("orders.parquet", {"o_orderkey": 10_000_000})
+    n_lines = _replicate("lineitem.parquet", {"l_orderkey": 10_000_000})
+    n_events = _replicate(
+        "events.parquet", {"event_id": 9_700_000, "user_id": 10_000}
+    )
+
+    # the dimension tables are untouched at this scale point; symlink them
+    # so load_table(spark, OUT_DIR, name) resolves for every table name
     for name in os.listdir(SRC):
         dst = os.path.join(OUT_DIR, name)
-        if name not in ("documents.parquet", "embeddings.parquet") and not os.path.lexists(dst):
+        if name not in (
+            "documents.parquet",
+            "embeddings.parquet",
+            "orders.parquet",
+            "lineitem.parquet",
+            "events.parquet",
+        ) and not os.path.lexists(dst):
             os.symlink(os.path.join(SRC, name), dst)
     print(
-        f"wrote {len(out)} docs + {len(eout)} embeddings -> {OUT_DIR}/"
+        f"wrote {len(out)} docs + {len(eout)} embeddings + "
+        f"{n_orders} orders + {n_lines} lineitems + {n_events} events -> {OUT_DIR}/"
     )
 
 
