@@ -1348,7 +1348,9 @@ def dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored ORDER BY score DESC, doc_id LIMIT 20
     """,
 )
-def bm25_1_query_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_1_query_ranking(
+    spark: SparkSession, sf_dir: str, eager: bool = True
+) -> DataFrame:
     """Rational-idf BM25 top-k retrieval (operators/ranking.py
     bm25_topk): rank documents against literal probe terms — the
     reference's point-GET key lookup (server.js) lifted to ranked
@@ -1368,7 +1370,8 @@ def bm25_1_query_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.trim(F.col("text"))) > 0
     )
     return bm25_topk(
-        docs, "doc_id", "text", ["table", "scan", "merge"], k=20
+        docs, "doc_id", "text", ["table", "scan", "merge"], k=20,
+        materialize=eager,
     )
 
 
@@ -1566,11 +1569,15 @@ def unp1_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
     """,
 )
-def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d2_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, eager: bool = True
+) -> DataFrame:
     """Near-dup detection: exact 3-gram Jaccard >= 0.2 via shingle inverted
     index (no all-pairs cross join)."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.2)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.2, materialize=eager
+    )
 
 
 @_register(
@@ -4023,6 +4030,11 @@ def ll3_training_corpus_capped(spark: SparkSession, sf_dir: str, eager: bool = T
 # freshness treadmill ends; from r10 a steady ~2-round rotation (the 16
 # remaining r7 keys + the oldest r8 block) holds it. Keys and query
 # bodies are NEVER changed by rotation — only dict order.
+#
+# ROUND 10 (registry still FROZEN at 109 — first steady-rotation
+# round, per the r9 verdict): the 16 r7 keys (ll1/ll2/ll3 fronted —
+# their plans changed in the r9 d2 fold) + the alphabetical head of
+# the 43 r8 keys. After r10 no row is older than r8.
 _DRIVER_WINDOW = [
     # core anchors (certified every round)
     "p1_status_gate",
@@ -4032,55 +4044,60 @@ _DRIVER_WINDOW = [
     "a1_a2_order_counter_deltas",
     "q1_pricing_summary",
     "st1_stream_window_agg",
-    # (a) stale rows-only markers — r4/r5 no_oracle rows refreshed
-    "d3_minhash_lsh",
-    "d4_simhash",
-    "d5b_embedding_near_dup_lsh",
-    "d5c_embedding_near_dup_lsh_planted",
-    "n3_ivf_topk",
-    "mm2_media_decode",
-    "mm4_resize",
-    "apx1_sketch_aggs",
-    # (b) the 8 oldest MATCH keys (r6)
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "n1_topk_cosine",
-    "mm2b_media_decode_oracle",
-    "mm4b_resize_oracle",
-    "ta5_repetition",
-    "tc1_line_cleaning",
-    "sd1_substring_dup_report",
-    # (c) first-row-in-r7 keys — one row total, make it two
-    "diff1_snapshot_diff",
-    "hop1_hopping_window_agg",
-    "unp1_unpivot_measures",
-    "st8_stream_hopping_window",
-    "rc1_recursive_hierarchy",
-    "gf1_calendar_gap_fill",
-    # (d) r7 keys whose previous row was r4
-    "d5_embedding_near_dup",
-    "g1_rollup",
-    "g2_cube",
-    "mm1_media_metadata",
-    "mm3_frame_sample",
-    "s1_set_ops",
-    "ta3_quality_score",
-    "ta4_doc_fingerprint",
-    "u1_string_funcs",
-    "w1_running_total",
-    "w4_tumbling_window",
-    "w5_global_topk",
-    # (e) r7 keys whose previous row was r5 (alphabetical head; the
-    # other 9 plus the prev=r6 block lead the r10 rotation)
-    "ch1_doc_chunks",
-    "cs1_correlated_subquery",
-    "d2b_ngram_jaccard_capped",
-    "d3b_minhash_lsh_md5",
-    "d4b_simhash_md5",
-    "d5d_embedding_lsh_oracle",
-    "d6_editdist_recheck",
-    "ga1_pandas_grouped_agg",
-    "j4_semi_anti_join",
+    # (a) the 16 r7-stale keys — the only rows older than r8 after the
+    # r9 treadmill finish. Fronted by the three training-corpus
+    # pipelines whose plans changed in the r9 d2 shingle-projection
+    # fold (their external rows predate the fold; the fold was
+    # equivalence-pinned and full-sim re-certified, but the external
+    # record comes first — r9 verdict item 1).
+    "ll1_training_corpus",
+    "ll2_training_corpus_clustered",
+    "ll3_training_corpus_capped",
+    "dec1_decontamination",
+    "mix1_domain_mixing",
+    "mo1_moment_aggs",
+    "pii1_redaction",
+    "pu1_scalar_pandas_udf",
+    "samp1_stratified_sample",
+    "sk1_salted_join",
+    "sp1_hash_split",
+    "st6_stream_ingest_routing",
+    "tf1_keyword_topk",
+    "udtf1_lateral_tokenize",
+    "w2_topk_per_group",
+    "w8_percent_rank",
+    # (b) the alphabetically-first 27 of the 43 keys whose newest row
+    # is r8 (the remaining 16 — sql1, st2–st5, st7, t5, t7, ta1, ta2,
+    # up1, w3, w6, w7, x1, x2 — plus the oldest r9 block lead the r11
+    # rotation). After r10 no key of any kind has a row older than r8:
+    # the steady ~2-round rotation is fully in force.
+    "a3_insufficient_stock",
+    "a4_a6_status_transitions",
+    "a5_counter_pivot",
+    "agg1_ordered_collect",
+    "arr1_array_hofs",
+    "bm25_1_query_ranking",
+    "cd1_distinct_agg",
+    "cr1_compression_ratio",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard",
+    "dc1_dedup_clusters",
+    "dc2_dedup_clusters_capped",
+    "dq1_column_profile",
+    "dt1_date_buckets",
+    "g3_grouping_sets",
+    "h1_having",
+    "j2_as_of_join",
+    "j3_range_join",
+    "lm1_unigram_freq_score",
+    "mf1_map_explode",
+    "n2_lsh_topk",
+    "n3b_ivf_topk_oracle",
+    "pack1_token_budget",
+    "par1_paragraph_dedup",
+    "pc1_percentiles",
+    "q4_order_priority",
+    "q6_filter_agg",
 ]
 
 

@@ -33,6 +33,26 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall {recall:.2f} below 0.8 ({len(exact)} true pairs)"
 
 
+def test_ngram_jaccard_materialize_modes_agree(spark, sf_dir):
+    """The r9 shingle-projection fold (one localCheckpoint pass instead of
+    three) must be a pure execution-strategy choice: identical pair sets
+    and jaccard values either way. materialize=False is also the plan the
+    EXPLAIN audit inspects (corpus d2 eager=False since r10), so this pins
+    that the audited lazy twin IS the shipped computation."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, 0.2, materialize=True
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, 0.2, materialize=False
+        ).collect()
+    )
+    assert a == b and a
+
+
 def test_simhash_near_dup_detection(spark):
     """Synthesized corpus (the fixtures have no exact duplicates below
     sf0.1): identical texts must pair at hamming 0; a one-word edit of a

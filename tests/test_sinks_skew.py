@@ -188,6 +188,70 @@ def test_merge_upsert_path_recovers_mid_swap_crash_state(spark, tmp_path):
     assert not os.path.exists(path + "__old")
 
 
+def test_recovery_interleaved_with_concurrent_writer_fresh_tmp(spark, tmp_path):
+    """R9 verdict item 6 — the last unprobed ordering: crash recovery
+    running WHILE a concurrent writer's fresh ``__tmp`` is already on
+    disk. Recovery must restore the ``__old`` survivor to base without
+    touching the foreign tmp (it belongs to the in-flight writer), and
+    the writer's subsequent swap must then complete normally. Plain
+    parquet has no transaction log, so two SIMULTANEOUS swaps on one
+    path remain the caller's race (documented in _swap_parquet); this
+    pins the recovery/writer interleaving, which IS in our contract."""
+    import glob
+    import os
+
+    from data_transform_make_spark.sources.sinks import (
+        _recover_swap_debris,
+        _swap_parquet,
+        merge_upsert_path,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 10).write.parquet(path)
+    # process A crashed between its two renames: base missing, survivor
+    # aside — and process B (the concurrent writer) has ALREADY landed
+    # its fresh tmp but not yet swapped
+    os.rename(path, path + "__old")
+    spark.range(100, 105).write.parquet(path + "__tmp")
+
+    # recovery fires (any of the three entry points) mid-interleave
+    assert _recover_swap_debris(path) is True
+    # base restored from the survivor...
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == list(range(10))
+    # ...and the foreign tmp is untouched — recovery never consumes or
+    # deletes another writer's in-flight data
+    assert sorted(
+        r.id for r in spark.read.parquet(path + "__tmp").collect()
+    ) == list(range(100, 105))
+
+    # the concurrent writer proceeds: its swap completes cleanly over the
+    # recovered base (its own overwrite-mode write refreshes the tmp)
+    _swap_parquet(spark.range(100, 105), path, "__tmp")
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == list(
+        range(100, 105)
+    )
+    assert not os.path.exists(path + "__old") and not glob.glob(path + "__tmp")
+
+    # same interleaving through the merge entry point: a foreign __tmp on
+    # disk while merge_upsert_path's hoisted recovery runs — the merge
+    # uses its own __merge_tmp namespace and leaves the foreign tmp alone
+    path2 = str(tmp_path / "inv")
+    spark.createDataFrame(
+        [("I1", 10), ("I2", 5)], "inventory_id string, stock int"
+    ).write.parquet(path2)
+    os.rename(path2, path2 + "__old")
+    spark.createDataFrame(
+        [("ZZ", 1)], "inventory_id string, stock int"
+    ).write.parquet(path2 + "__tmp")
+    source = spark.createDataFrame([("I1", 8)], "inventory_id string, stock int")
+    assert merge_upsert_path(spark, path2, source, ["inventory_id"]) == "parquet"
+    out = {r.inventory_id: r.stock for r in spark.read.parquet(path2).collect()}
+    assert out == {"I1": 8, "I2": 5}
+    assert {r.inventory_id for r in spark.read.parquet(path2 + "__tmp").collect()} == {
+        "ZZ"
+    }
+
+
 def test_compact_small_files_recovers_mid_swap_crash_state(spark, tmp_path):
     """Same ADVICE r8 boundary for the other lineage-reads-base caller:
     compact_small_files sizes and reads the path before swapping, so it

@@ -82,9 +82,11 @@ def main() -> int:
     for name, fn in sorted(qs.items()):
         try:
             # entries whose default path eagerly materializes through a
-            # scoped-cache localCheckpoint (d3, dec1, ll1-ll3) expose
-            # eager=False: the identical composed plan, fully lazy, so the
-            # audit sees the real shapes instead of one Scan ExistingRDD
+            # scoped-cache localCheckpoint (d3, dec1, ll1-ll3, and since
+            # r10 bm25_1 and d2 — the r9 fold had left them reporting
+            # scans=0) expose eager=False: the identical composed plan,
+            # fully lazy, so the audit sees the real shapes (scan +
+            # pushdown included) instead of one Scan ExistingRDD
             try:
                 df = fn(spark, sf_dir, eager=False)
             except TypeError:
