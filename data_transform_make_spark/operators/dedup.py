@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
+from .checkpointing import eager_cut
 
 
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
@@ -490,6 +491,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
@@ -530,6 +532,14 @@ def ngram_jaccard_pairs(
     the dec1-documented recipe — the projection is ~the tokenized corpus
     — so ``False`` keeps the fully-lazy recompute plan when executor
     storage is tighter than compute.
+
+    **Executor-loss caveat (advice, round 9):** the default cut is
+    ``localCheckpoint`` — executor-resident, so on a real cluster a
+    lost executor kills the job. Pass ``checkpoint_dir`` (HDFS/S3) to
+    route the cut through reliable ``DataFrame.checkpoint``
+    (:func:`..checkpointing.eager_cut`, the connected_components
+    scoping protocol), or ``materialize=False`` for recompute-on-loss
+    lineage.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     spread = _spread(df, id_col)
@@ -538,7 +548,7 @@ def ngram_jaccard_pairs(
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__arr"),
     )
     if materialize:
-        proj = proj.localCheckpoint(eager=True)
+        proj = eager_cut(proj, checkpoint_dir)
     sh = proj.select("__id", F.explode("__arr").alias("__sh"))
     # per-doc set size is a map-only expression over the un-exploded array —
     # no groupBy shuffle and no second pass over the exploded shingle table

@@ -73,10 +73,16 @@ def as_of_join(
     (e.g. a sequence number) whose maximum wins; when omitted, the whole
     value struct is the tie-break key, i.e. the greatest right row by
     field-wise comparison in ``right_value_cols`` order (Spark struct
-    ordering, NULL fields smallest) wins. A MapType anywhere in the
-    value columns makes the struct unorderable — that case is refused
-    loudly unless an explicit ``tiebreaker`` is supplied, rather than
-    silently returning a plan-dependent winner.
+    ordering, NULL fields smallest) wins. With an explicit tiebreaker
+    the value struct is appended as the FINAL tie-break component
+    (advice, round 9): rows sharing (key, ts, tiebreaker) but differing
+    in values resolve to the greatest value struct instead of a
+    plan-dependent pick — the explicit key takes precedence, totality
+    is preserved. A MapType anywhere in the value columns makes the
+    struct unorderable — that case is refused loudly unless an explicit
+    ``tiebreaker`` is supplied, and with MapType values the supplied
+    tiebreaker MUST be unique per (key, ts): residual ties there cannot
+    be totalized engine-side and remain the caller's contract.
 
     The right values ride as ONE struct column, not per-column
     carry-forwards (review, round 8): with per-column
@@ -116,7 +122,29 @@ def as_of_join(
                 f"as_of_join: tiebreaker {tiebreaker!r} has unorderable type "
                 f"{tb_type.simpleString()}"
             )
-        l_tb, r_tb = F.lit(None).cast(tb_type), F.col(tiebreaker)
+        if not _has_unorderable(r_struct_type):
+            # ADVICE r9: an explicit tiebreaker alone is only a total
+            # order when it is unique per (key, ts) — two right rows
+            # sharing (key, ts, tiebreaker) but differing in value
+            # columns were still a plan-dependent winner. When the value
+            # struct is orderable, append it as the FINAL tie-break
+            # component: tiebreaker precedence is preserved (struct
+            # comparison is field-lexicographic), residual ties resolve
+            # by greatest value struct — the same contract the default
+            # mode already has.
+            tb_pair_type = T.StructType(
+                [T.StructField("t", tb_type), T.StructField("v", r_struct_type)]
+            )
+            l_tb = F.lit(None).cast(tb_pair_type)
+            r_tb = F.struct(
+                F.col(tiebreaker).alias("t"), r_struct.alias("v")
+            )
+        else:
+            # MapType in the value columns: the struct cannot order, so
+            # the tiebreaker MUST be unique per (key, ts) — documented
+            # contract (see docstring); residual ties here would be
+            # plan-dependent and cannot be totalized engine-side.
+            l_tb, r_tb = F.lit(None).cast(tb_type), F.col(tiebreaker)
     l_tagged = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from .checkpointing import eager_cut
 
 
 def bm25_topk(
@@ -56,15 +57,26 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     materialize: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Top-``k`` documents by rational-idf BM25 against ``query_terms``.
 
-    ``materialize=True`` (default) eagerly ``localCheckpoint``s the
-    narrow (id, dl, tf...) projection so its scan + tokenize + per-term
+    ``materialize=True`` (default) eagerly checkpoints the narrow
+    (id, dl, tf...) projection so its scan + tokenize + per-term
     HOF counts run once, not once per consumer (the stats agg and the
     score map both read it). ``False`` keeps the fully-lazy two-pass
     plan — for callers composing bm25 into a larger lazy pipeline or
     running where executor storage for the checkpoint is unavailable.
+
+    **Executor-loss caveat (advice, round 9):** the default cut is
+    ``localCheckpoint`` — blocks live on executors, NOT in the
+    fault-tolerant store, so on a real cluster a lost executor kills
+    the job (local mode cannot lose one). For cluster deployment pass
+    ``checkpoint_dir`` (HDFS/S3): the cut routes through reliable
+    ``DataFrame.checkpoint`` via :func:`..checkpointing.eager_cut`
+    (the connected_components scoping protocol) and survives executor
+    loss at the cost of one distributed write — or use
+    ``materialize=False`` to keep recompute-on-loss lineage.
 
     Output: ``(id, dl, tf_<term>..., score)`` ordered by
     ``(score DESC, id)``. ``dl`` is the whitespace-token document length;
@@ -106,8 +118,9 @@ def bm25_topk(
     )
     if materialize:
         # one tokenize+tf pass total, not one per consumer (profiled:
-        # the doubled pass WAS the r8 6.2× scaling outlier)
-        base = base.localCheckpoint(eager=True)
+        # the doubled pass WAS the r8 6.2× scaling outlier); reliable
+        # when checkpoint_dir is given, executor-local otherwise
+        base = eager_cut(base, checkpoint_dir)
 
     stats = base.agg(
         F.count(F.lit(1)).alias("__n"),

@@ -307,10 +307,33 @@ def _checkpointed_state_pipeline(
             # present) would be refused on upgrade. An old-format marker
             # that abspath-matches THIS checkpoint is the same lineage —
             # accept it and rewrite it in place in the new format.
+            # ADVICE r9 tightening: the abspath match alone cannot see a
+            # SYMLINK RETARGETED between runs — the old marker's abspath
+            # spelling still matches while the realpath now names a
+            # DIFFERENT checkpoint, and a blind rewrite would rebind
+            # foreign replayable epoch state. Before rewriting over
+            # committed epochs, require the realpath'd target to be
+            # consistent with them: every committed epoch except the
+            # newest (the legitimate crash window — _SUCCESS written,
+            # offset commit not yet) must have its batch committed in
+            # THIS checkpoint's commits/ log. A retargeted link fails
+            # that (the other checkpoint's commit ids don't cover this
+            # state's epochs) and falls through to the loud refusal.
             if bound != lineage and bound == os.path.abspath(checkpoint_dir):
-                with open(marker, "w") as fh:
-                    fh.write(lineage)
-                bound = lineage
+                epochs = sorted(
+                    int(d[len("epoch_"):])
+                    for d in os.listdir(state_dir)
+                    if d.startswith("epoch_")
+                    and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+                )
+                commits_covered = all(
+                    os.path.exists(os.path.join(lineage, "commits", str(e)))
+                    for e in epochs[:-1]
+                )
+                if commits_covered:
+                    with open(marker, "w") as fh:
+                        fh.write(lineage)
+                    bound = lineage
             if bound != lineage:
                 # the refusal exists to protect REPLAYABLE state (epoch
                 # dirs whose ids would collide with the new lineage's).

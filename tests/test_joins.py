@@ -130,6 +130,27 @@ def test_as_of_join_explicit_tiebreaker_overrides_struct_order(spark):
     assert rows[0].a == 1
 
 
+def test_as_of_join_explicit_tiebreaker_residual_tie_is_total(spark):
+    """ADVICE r9: two right rows sharing (key, ts, tiebreaker) but
+    differing in value columns must still have a plan-independent
+    winner — the value struct rides as the final tie-break component,
+    so the greatest struct wins; and the explicit key keeps precedence
+    over the struct."""
+    left = spark.createDataFrame([("k1", 5)], "key string, lts long")
+    right = spark.createDataFrame(
+        [("k1", 5, 1, 10), ("k1", 5, 1, 99), ("k1", 5, 0, 500)],
+        "key string, rts long, seq long, a long",
+    )
+    for lp, rp in ((1, 1), (1, 3), (3, 1), (3, 3)):
+        rows = as_of_join(
+            left.repartition(lp), right.repartition(rp),
+            ["key"], "lts", "rts", ["a"], tiebreaker="seq",
+        ).collect()
+        # seq=1 beats seq=0 even though a=500 is the greatest struct;
+        # within seq=1, a=99 beats a=10 (struct as final component)
+        assert rows[0].a == 99, (lp, rp)
+
+
 def test_as_of_join_refuses_unorderable_default_tiebreak(spark):
     """MapType value columns make the whole-struct tie-break key
     unorderable — refused loudly instead of a plan-dependent winner."""

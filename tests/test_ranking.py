@@ -26,6 +26,41 @@ def test_bm25_hand_computed_single_term(spark):
     assert (by_id[1].dl, by_id[1].tf_cat) == (3, 2)
 
 
+def test_bm25_reliable_checkpoint_dir_agrees_and_restores(spark, tmp_path):
+    """ADVICE r9: with checkpoint_dir the materialize cut routes through
+    reliable DataFrame.checkpoint (survives executor loss) — rows must
+    be bit-identical to the default localCheckpoint path, checkpoint
+    files must land under the given dir, and a FOREIGN pre-existing
+    session checkpoint dir must be restored exactly on exit."""
+    import os
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog dog"), (3, "cat")],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+    foreign = str(tmp_path / "foreign")
+    sc.setCheckpointDir(foreign)
+    pre = sc.getCheckpointDir()
+    ours = str(tmp_path / "bm25_ckpt")
+
+    a = [tuple(r) for r in bm25_topk(docs, "doc_id", "text", ["cat"]).collect()]
+    b = [
+        tuple(r)
+        for r in bm25_topk(
+            docs, "doc_id", "text", ["cat"], checkpoint_dir=ours
+        ).collect()
+    ]
+    assert a == b and len(a) == 3
+    # the reliable cut actually wrote under OUR dir...
+    assert any(files for _, _, files in os.walk(ours))
+    # ...and the foreign dir was restored exactly (no fresh UUID subdir)
+    assert sc.getCheckpointDir() == pre
+    # cleanup: drop the session-global dir state for later tests
+    sc._dtm_checkpoint_root = None
+    sc._dtm_checkpoint_set = None
+
+
 def test_bm25_multi_term_additive(spark):
     docs = spark.createDataFrame(
         [(1, "cat dog"), (2, "cat cat"), (3, "fish")],

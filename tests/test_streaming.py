@@ -640,6 +640,81 @@ def test_replay_guard_migrates_pre_realpath_marker(spark, tmp_path):
         assert fh.read().strip() == os.path.realpath(link)
 
 
+def test_replay_guard_migration_refuses_retargeted_symlink(spark, tmp_path):
+    """ADVICE r9: the pre-realpath migration shim matches on abspath
+    alone, so a symlink RETARGETED to a different real checkpoint
+    between runs would pass once and rebind a foreign lineage over
+    replayable epoch state. The shim now requires the realpath'd target
+    to cover the committed epochs (commits/<id> present for every one
+    but the newest) before rewriting — a retargeted link fails that and
+    falls through to the loud lineage refusal."""
+    import os
+
+    import pytest
+
+    src1 = str(tmp_path / "w1")
+    src2 = str(tmp_path / "w2")
+    state_dir = str(tmp_path / "state")
+    cp_a = str(tmp_path / "cp_a")
+    cp_b = str(tmp_path / "cp_b")
+    link = str(tmp_path / "cp_link")
+    os.makedirs(cp_a)
+    os.makedirs(cp_b)
+    os.symlink(cp_a, link)
+    inventory = spark.createDataFrame([("I1", "Tote", 10, 0)], INVENTORY)
+    spark.createDataFrame(
+        [(1, "Approved", [("I1", "Tote", "3")])], WEBHOOKS
+    ).coalesce(1).write.parquet(src1)
+    spark.createDataFrame(
+        [(2, "Approved", [("I1", "Tote", "4")])], WEBHOOKS
+    ).coalesce(1).write.parquet(src2)
+
+    # two runs via the link against checkpoint A: >=2 committed epochs,
+    # so the epochs[:-1] coverage check has teeth
+    streaming_order_pipeline(
+        spark,
+        spark.readStream.schema(WEBHOOKS).parquet(src1),
+        inventory,
+        state_dir=state_dir,
+        checkpoint_dir=link,
+    )
+    spark.read.parquet(src2).write.mode("append").parquet(src1)
+    streaming_order_pipeline(
+        spark,
+        spark.readStream.schema(WEBHOOKS).parquet(src1),
+        inventory,
+        state_dir=state_dir,
+        checkpoint_dir=link,
+    )
+    committed = [
+        d
+        for d in os.listdir(state_dir)
+        if d.startswith("epoch_")
+        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+    ]
+    assert len(committed) >= 2, committed
+
+    # downgrade the marker to the pre-r8 abspath format, then retarget
+    # the symlink at a DIFFERENT real checkpoint
+    marker = os.path.join(state_dir, "_lineage")
+    with open(marker, "w") as fh:
+        fh.write(os.path.abspath(link))
+    os.remove(link)
+    os.symlink(cp_b, link)
+
+    with pytest.raises(ValueError, match="bound to checkpoint lineage"):
+        streaming_order_pipeline(
+            spark,
+            spark.readStream.schema(WEBHOOKS).parquet(src1),
+            inventory,
+            state_dir=state_dir,
+            checkpoint_dir=link,
+        )
+    # the marker was NOT rewritten — the original lineage is recoverable
+    with open(marker) as fh:
+        assert fh.read().strip() == os.path.abspath(link)
+
+
 def test_replay_guard_inert_without_checkpoint(spark, tmp_path):
     """Without a checkpoint, every run restarts at epoch 0 — the replay
     guard must NOT fire off a leftover state_dir, or a second run's new
