@@ -37,6 +37,10 @@ def tfidf_topk_terms(
     Returns (id_col, term, score, rnk) with rnk in 1..k; ties broken by
     term ascending (total order — cross-engine stable).
     """
+    if k < 1:
+        # the nprobe/radius class (round 9): top-0 terms is a
+        # silently-empty result, not a cheaper query
+        raise ValueError(f"tfidf_topk_terms: k must be >= 1, got {k!r}")
     tok = _spread(docs, id_col).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )

@@ -86,6 +86,10 @@ def bm25_topk(
     any other empty document — never NULL scores, never an inflated idf
     from rows excluded on one side of the stats only.
     """
+    if k < 1:
+        # the nprobe/radius class (round 9): top-0 is a silently-empty
+        # result, not a cheaper query — refused across all top-k ops
+        raise ValueError(f"bm25_topk: k must be >= 1, got {k!r}")
     if not query_terms:
         raise ValueError("bm25_topk: need at least one query term")
     if len(set(query_terms)) != len(query_terms):

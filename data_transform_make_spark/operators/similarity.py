@@ -31,6 +31,14 @@ def _query_vec_col(query_vec: list[float]):
     return F.array(*[F.lit(float(x)) for x in query_vec])
 
 
+def _check_k(k: int, where: str) -> None:
+    # the nprobe/radius/centroid class (round 9): a degenerate k is a
+    # silently-empty result masquerading as a cheaper query — refuse it
+    # at the boundary across every top-k operator (round 10 sweep)
+    if k < 1:
+        raise ValueError(f"{where}: k must be >= 1, got {k!r}")
+
+
 def brute_force_topk(
     df: DataFrame,
     vec_col: str,
@@ -46,6 +54,7 @@ def brute_force_topk(
     to the frame's first column — pass it explicitly when that is not the
     row id).
     """
+    _check_k(k, "brute_force_topk")
     scored = df.withColumn("cosine", cosine_similarity(F.col(vec_col), _query_vec_col(query_vec)))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col or df.columns[0])).limit(k)
 
@@ -109,6 +118,7 @@ def lsh_bucket_topk(
     the scan — this function expresses the same plan on an unpartitioned df
     (the bucket filter still prunes before any cosine math runs).
     """
+    _check_k(k, "lsh_bucket_topk")
     if multiprobe_hamming < 0:
         raise ValueError(
             f"lsh_bucket_topk: multiprobe_hamming must be >= 0, got "
@@ -193,6 +203,7 @@ def ivf_topk(
     ``partitionBy("ivf_cluster")`` it prunes partitions at the scan.
     ``id_col``: deterministic tie-break column (default: first column).
     """
+    _check_k(k, "ivf_topk")
     if nprobe < 1:
         raise ValueError(
             f"ivf_topk: nprobe must be >= 1, got {nprobe} (zero posting "

@@ -34,6 +34,10 @@ def top_k_per_group(
     Results are identical to the one-phase plan whenever ``order_col`` is a
     total order (the same precondition one-phase determinism needs anyway).
     """
+    if k < 1:
+        # the nprobe/radius class (round 9): top-0-per-group is a
+        # silently-empty result, not a cheaper query
+        raise ValueError(f"top_k_per_group: k must be >= 1, got {k!r}")
     if two_phase:
         local_w = Window.partitionBy(*group_cols, "__pid").orderBy(order_col)
         df = (

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint, quality_score, shingles, token_count
+from ..operators.checkpointing import eager_cut
 from ..operators.dedup import _spread, keep_min_by, ngram_jaccard_pairs
 
 SPLIT_MOD = 4294967296  # 2^32
@@ -255,6 +256,7 @@ def build_training_corpus(
     max_df: int | None = None,
     pairs: DataFrame | None = None,
     eager: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Run the full curation pipeline; returns per-(split, lang) stats.
 
@@ -268,6 +270,13 @@ def build_training_corpus(
     — (id_a, id_b) over the quality+exact-deduped ids — e.g. the persisted
     output of a MinHash-LSH pass, mirroring ``signatures=`` one level up;
     when given, pair generation is skipped entirely (``max_df`` ignored).
+
+    ``checkpoint_dir`` (advice, round 9): the eager cuts here default to
+    executor-resident ``localCheckpoint`` — fine in local mode, but on a
+    real cluster a lost executor kills the job. A reliable store path
+    routes every cut (the shingle projection inside pair generation and
+    the stats result) through ``DataFrame.checkpoint`` instead
+    (operators/checkpointing.eager_cut).
     """
     # the deduped corpus feeds two consumers (pair generation + the final
     # anti-join); without materialization Spark re-derives the quality
@@ -283,12 +292,13 @@ def build_training_corpus(
         pairs = ngram_jaccard_pairs(
             exact, "doc_id", "text", shingle_n=3,
             threshold=near_dup_threshold, max_df=max_df,
+            materialize=eager, checkpoint_dir=checkpoint_dir,
         )
     drop_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept = exact.join(drop_ids, "doc_id", "left_anti")
     stats = _split_stats(kept, train_cut)
     if eager:
-        stats = stats.localCheckpoint(eager=True)
+        stats = eager_cut(stats, checkpoint_dir)
         exact.unpersist()
     return stats
 
@@ -301,6 +311,7 @@ def build_training_corpus_clustered(
     max_df: int | None = None,
     pairs: DataFrame | None = None,
     eager: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The curation pipeline with the published-standard near-dup policy:
     connected components over the pair graph, keep exactly one document
@@ -318,6 +329,8 @@ def build_training_corpus_clustered(
     cluster step. Dropping candidate edges can only SPLIT clusters, so
     the capped pipeline's kept set is always a superset of the exact
     pipeline's kept set (property-tested in tests/test_curation_ops.py).
+    ``checkpoint_dir`` as in :func:`build_training_corpus`, additionally
+    forwarded to the per-round CC lineage cuts (operators/graph.py).
     """
     from ..operators.graph import connected_components
 
@@ -331,15 +344,18 @@ def build_training_corpus_clustered(
         pairs = ngram_jaccard_pairs(
             exact, "doc_id", "text", shingle_n=3,
             threshold=near_dup_threshold, max_df=max_df,
+            materialize=eager, checkpoint_dir=checkpoint_dir,
         )
-    cc = connected_components(pairs, src="id_a", dst="id_b")
+    cc = connected_components(
+        pairs, src="id_a", dst="id_b", checkpoint_dir=checkpoint_dir
+    )
     drop_ids = cc.filter(F.col("cluster_id") != F.col("id")).select(
         F.col("id").alias("doc_id")
     )
     kept = exact.join(drop_ids, "doc_id", "left_anti")
     stats = _split_stats(kept, train_cut)
     if eager:
-        stats = stats.localCheckpoint(eager=True)
+        stats = eager_cut(stats, checkpoint_dir)
         exact.unpersist()
     return stats
 

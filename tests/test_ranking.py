@@ -61,6 +61,39 @@ def test_bm25_reliable_checkpoint_dir_agrees_and_restores(spark, tmp_path):
     sc._dtm_checkpoint_set = None
 
 
+def test_eager_cut_concurrent_flip_last_writer_wins(spark, tmp_path, monkeypatch):
+    """eager_cut must honor the same exit contract as connected_components
+    (whose protocol it shares): a concurrent caller flipping the
+    session-global checkpoint dir inside the cut window keeps ITS dir
+    (no restore-over-newer-set) and the idempotence memo is cleared."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from data_transform_make_spark.operators.checkpointing import eager_cut
+
+    sc = spark.sparkContext
+    ours = str(tmp_path / "ours")
+    foreign_root = str(tmp_path / "foreign")
+    sc.setCheckpointDir(str(tmp_path / "entry"))
+    sc._dtm_checkpoint_root = None  # entry dir belongs to someone else
+
+    state = {"foreign": None}
+    orig_checkpoint = DataFrame.checkpoint
+
+    def flip_then_checkpoint(self, eager=True):
+        sc.setCheckpointDir(foreign_root)
+        state["foreign"] = sc.getCheckpointDir()
+        return orig_checkpoint(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "checkpoint", flip_then_checkpoint)
+    out = eager_cut(spark.range(3), ours)
+    monkeypatch.undo()
+    assert out.count() == 3
+    # last writer wins; memo cleared for the next same-root call
+    assert sc.getCheckpointDir() == state["foreign"]
+    assert getattr(sc, "_dtm_checkpoint_root", None) is None
+    assert getattr(sc, "_dtm_checkpoint_set", None) is None
+
+
 def test_bm25_multi_term_additive(spark):
     docs = spark.createDataFrame(
         [(1, "cat dog"), (2, "cat cat"), (3, "fish")],

@@ -398,6 +398,33 @@ def test_lsh_ivf_boundary_params_rejected(spark):
     assert out and out[0].id == 1
 
 
+def test_topk_k_below_one_rejected(spark):
+    """Round-10 sweep of the same class across every top-k operator:
+    k < 1 is a silently-empty result masquerading as a cheaper query —
+    refused at the boundary like nprobe/radius/centroids were in r9."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_transform_make_spark.operators.keywords import tfidf_topk_terms
+    from data_transform_make_spark.operators.ranking import bm25_topk
+    from data_transform_make_spark.operators.windows import top_k_per_group
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "id long, vec array<double>"
+    )
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    for call in (
+        lambda: brute_force_topk(vecs, "vec", [1.0, 0.0], k=0),
+        lambda: lsh_bucket_topk(vecs, "vec", [1.0, 0.0], k=0),
+        lambda: ivf_topk(vecs, "vec", [1.0, 0.0], k=0, centroids=[[0.0, 0.0]]),
+        lambda: bm25_topk(docs, "doc_id", "text", ["a"], k=0),
+        lambda: tfidf_topk_terms(docs, "doc_id", "text", k=-1),
+        lambda: top_k_per_group(docs, ["doc_id"], [F.col("text")], 0),
+    ):
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            call()
+
+
 def test_dot_mismatched_dims_null_never_outranks(spark):
     """A malformed (shorter) vector must yield a NULL cosine that ranks
     LAST in top-k — never a silently-truncated partial score that could
