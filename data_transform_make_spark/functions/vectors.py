@@ -34,6 +34,17 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; NULL when either vector has zero norm."""
+    """Cosine similarity; NULL when either vector has zero norm — and
+    NULL, never NaN, when any element is non-finite (review, round 10):
+    one NaN element makes dot and norms NaN, and one ±Inf element makes
+    the ratio Inf/Inf = NaN. Spark orders NaN ABOVE every double and NaN
+    passes every ``>= threshold`` predicate, so a single corrupt
+    embedding would otherwise silently win ALL top-k queries
+    (brute/LSH/IVF) and pair with everything in the near-dup operators.
+    NULL does neither: it sorts last under ``desc`` and fails predicates.
+    """
     denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom == 0, F.lit(None).cast("double")).otherwise(dot(a, b) / denom)
+    sim = dot(a, b) / denom
+    return F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+        F.when(F.isnan(sim), F.lit(None).cast("double")).otherwise(sim)
+    )

@@ -398,6 +398,44 @@ def test_lsh_ivf_boundary_params_rejected(spark):
     assert out and out[0].id == 1
 
 
+def test_corrupt_embedding_never_wins_topk_or_pairs(spark):
+    """Round-10 review: Spark orders NaN ABOVE every double and NaN
+    passes >= predicates, so one NaN/Inf element in a corrupt embedding
+    used to (a) rank that row FIRST in every cosine top-k and (b) pair
+    it with everything in the near-dup operators. cosine_similarity now
+    yields NULL for non-finite inputs — sorts last, fails predicates."""
+    from data_transform_make_spark.functions.vectors import cosine_similarity
+    from data_transform_make_spark.operators.dedup import embedding_near_dup_pairs
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [float("nan"), 0.5]),
+            (4, [float("inf"), 1.0]),
+        ],
+        "id long, vec array<double>",
+    )
+    top = brute_force_topk(vecs, "vec", [1.0, 0.0], k=4, id_col="id").collect()
+    # real vectors first, corrupt ones (NULL cosine) last — never first
+    assert [r.id for r in top[:2]] == [1, 2]
+    assert all(r.cosine is None for r in top[2:])
+    # pair generation: corrupt rows pair with NOTHING
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(vecs, "id", "vec", threshold=0.5).collect()
+    }
+    assert pairs == {(1, 2)}
+    # and the scalar itself is NULL, not NaN, for both corruption kinds
+    import math
+
+    row = vecs.filter("id >= 3").select(
+        cosine_similarity("vec", F.array(F.lit(1.0), F.lit(0.0))).alias("c")
+    ).collect()
+    assert all(r.c is None for r in row)
+    assert not any(r.c is not None and math.isnan(r.c) for r in row)
+
+
 def test_topk_k_below_one_rejected(spark):
     """Round-10 sweep of the same class across every top-k operator:
     k < 1 is a silently-empty result masquerading as a cheaper query —
