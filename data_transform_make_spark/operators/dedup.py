@@ -314,6 +314,24 @@ def minhash_lsh_pairs(
     because the estimate is computed from the full signatures, not from the
     buckets. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
+    # round-10 review: bands outside [1, num_hashes] makes rows_per_band
+    # 0 (every band hash = hash("") → ONE universal bucket: all-pairs
+    # candidate blowup, or — with max_bucket_df set — the valve drops the
+    # single bucket and the result is silently EMPTY) or divides by zero;
+    # a non-divisor silently IGNORES the signature tail (num_hashes=32,
+    # bands=5 → positions 31-32 never banded: quiet recall drift from the
+    # documented bands x rows contract).
+    if bands < 1 or bands > num_hashes:
+        raise ValueError(
+            f"minhash_lsh_pairs: bands must be in [1, num_hashes], got "
+            f"bands={bands!r} with num_hashes={num_hashes!r}"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"minhash_lsh_pairs: bands ({bands!r}) must divide num_hashes "
+            f"({num_hashes!r}) — a remainder silently drops the signature "
+            "tail from every band"
+        )
     rows_per_band = num_hashes // bands
     owns_cache = signatures is None and eager
     if signatures is not None:
@@ -449,6 +467,13 @@ def simhash_near_dup_pairs(
     arrays there is nothing to save by re-attaching). Returns
     (id_a, id_b, hamming).
     """
+    if max_hamming < 0:
+        # the multiprobe_hamming class (round 10): a negative radius
+        # matches NO pair — silently empty, not a tighter threshold
+        raise ValueError(
+            f"simhash_near_dup_pairs: max_hamming must be >= 0, got "
+            f"{max_hamming!r}"
+        )
     sig = simhash64(df, id_col, text_col, hash_family)
     chunk_bits = _SIMHASH_BITS[hash_family] // 4
     chunk_mask = (1 << chunk_bits) - 1
@@ -802,6 +827,13 @@ def duplicated_span_report(
     approaches cannot occur at all — no stage ever holds more than one
     row per (span, doc).
     """
+    if window < 1:
+        # the shingles-n=0 class (round 10): window=0 makes every span
+        # the empty string — every position in every doc "duplicates"
+        # every other, dup_frac ~1.0 corpus-wide, silently wrong
+        raise ValueError(
+            f"duplicated_span_report: window must be >= 1, got {window!r}"
+        )
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     # sequence(a, b) DECREASES when a > b — guard short docs to an empty

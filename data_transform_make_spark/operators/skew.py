@@ -42,6 +42,12 @@ def hot_keys(df: DataFrame, key: str, min_count: int) -> list:
     """Keys whose row count exceeds ``min_count`` — the candidates worth
     salting. One aggregate over the key column only (column-pruned scan);
     the result must be small (it is, by definition of 'hot')."""
+    if min_count < 1:
+        # this is one of the engine's two sanctioned .collect() sites,
+        # bounded BY min_count: <= 0 collects every distinct key — an
+        # unbounded driver transfer at scale, not a lower threshold
+        # (review, round 10)
+        raise ValueError(f"hot_keys: min_count must be >= 1, got {min_count!r}")
     rows = df.groupBy(key).count().filter(F.col("count") >= min_count).collect()
     return [r[key] for r in rows]
 

@@ -73,6 +73,14 @@ def sessionize(
     ``session_window``; one shuffle on the key.
     Adds ``session_id`` (1-based per key).
     """
+    if gap_seconds < 0:
+        # gap is always >= 0 (the window is time-ordered), so a negative
+        # threshold silently fractures EVERY row into its own session —
+        # degenerate output, not a tighter gap (review, round 10;
+        # gap_seconds=0 is meaningful: equal-ts events share a session)
+        raise ValueError(
+            f"sessionize: gap_seconds must be >= 0, got {gap_seconds!r}"
+        )
     w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col))
     gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0))

@@ -420,6 +420,12 @@ def stratified_sample(
     hash threshold (domain_mix) to decimate before ranking when groups
     are astronomically larger than N.
     """
+    if n_per_group < 1:
+        # the top-k class (round 10 sweep): exact-0-per-group is a
+        # silently-empty result, not a cheaper sample
+        raise ValueError(
+            f"stratified_sample: n_per_group must be >= 1, got {n_per_group!r}"
+        )
     h = mulhash32(id_col, SAMP_MULT)
     w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
     return (

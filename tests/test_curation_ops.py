@@ -781,6 +781,21 @@ class TestStratifiedSample:
         got = sorted((r.lang, r.doc_id) for r in stratified_sample(docs, 5).collect())
         assert got == [("en", 1), ("en", 2), ("zz", 3)]
 
+    def test_n_below_one_rejected(self, spark):
+        """The top-k class (round 10): exact-0-per-group is a silently
+        empty result, not a cheaper sample — refused at the boundary."""
+        import pytest
+
+        from data_transform_make_spark.plans.training_corpus import (
+            stratified_sample,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "en", "x")], "doc_id long, lang string, text string"
+        )
+        with pytest.raises(ValueError, match="n_per_group"):
+            stratified_sample(docs, 0)
+
 
 class TestNullEdgeEndpoints:
     def test_null_endpoints_dropped_identically_on_both_paths(self, spark):

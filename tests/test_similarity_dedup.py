@@ -436,6 +436,33 @@ def test_corrupt_embedding_never_wins_topk_or_pairs(spark):
     assert not any(r.c is not None and math.isnan(r.c) for r in row)
 
 
+def test_dedup_blocking_degenerate_params_rejected(spark):
+    """Round-10 continuation of the boundary sweep: banding configs
+    whose rows_per_band is 0 (one universal bucket — all-pairs blowup,
+    or silently EMPTY under max_bucket_df) or that silently drop the
+    signature tail; a negative simhash radius (matches nothing); a
+    0-token span window (every span '' — corpus-wide false dup_frac)."""
+    import pytest
+
+    from data_transform_make_spark.operators.dedup import (
+        duplicated_span_report,
+        minhash_lsh_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands must be in"):
+        minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=33)
+    with pytest.raises(ValueError, match="bands must be in"):
+        minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=0)
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=5)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=-1)
+    with pytest.raises(ValueError, match="window"):
+        duplicated_span_report(docs, "doc_id", "text", window=0)
+
+
 def test_topk_k_below_one_rejected(spark):
     """Round-10 sweep of the same class across every top-k operator:
     k < 1 is a silently-empty result masquerading as a cheaper query —

@@ -301,6 +301,17 @@ def test_salted_join_equals_plain(spark):
     assert plain == salted
 
 
+def test_hot_keys_unbounded_min_count_rejected(spark):
+    """Round-10 review: hot_keys is a sanctioned bounded .collect() —
+    bounded BY min_count. min_count <= 0 collects EVERY distinct key
+    (unbounded driver transfer at scale) and is refused."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "row_id long, k string")
+    with pytest.raises(ValueError, match="min_count"):
+        hot_keys(df, "k", min_count=0)
+
+
 def test_salted_join_left_anti_equals_plain(spark):
     large = spark.createDataFrame(
         [(i, "hot" if i % 3 == 0 else f"k{i}") for i in range(300)], "row_id long, k string"

@@ -22,6 +22,20 @@ def _rows(seed: int, n: int, n_groups: int):
     ]
 
 
+def test_sessionize_negative_gap_rejected(spark):
+    """Round-10 review: the inter-event gap is always >= 0 under the
+    time-ordered window, so a negative threshold silently fractures
+    every row into its own session — refused (gap_seconds=0 stays
+    legal: equal-ts events share a session)."""
+    import pytest
+
+    from data_transform_make_spark.operators.windows import sessionize
+
+    df = spark.createDataFrame([(1, 100)], "user_id long, ts long")
+    with pytest.raises(ValueError, match="gap_seconds"):
+        sessionize(df, ["user_id"], "ts", -1)
+
+
 def test_two_phase_equals_one_phase(spark):
     for seed, n, n_groups, parts in [(1, 500, 3, 7), (2, 300, 40, 2), (3, 80, 5, 16)]:
         df = spark.createDataFrame(
