@@ -436,6 +436,71 @@ def test_corrupt_embedding_never_wins_topk_or_pairs(spark):
     assert not any(r.c is not None and math.isnan(r.c) for r in row)
 
 
+def test_cosine_similarity_property_vs_python_reference(spark):
+    """Hypothesis cross-check of the round-10 cosine contract against a
+    bit-exact Python reference: same left-fold accumulation order, sqrt
+    and division are IEEE correctly-rounded in both runtimes, so finite
+    results must be EXACTLY equal — and zero-norm / non-finite inputs
+    must be None on both sides (never NaN, never a ranked value)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_transform_make_spark.functions.vectors import cosine_similarity
+
+    def py_cosine(a, b):
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+        for x in a:
+            na = na + x * x
+        for y in b:
+            nb = nb + y * y
+        denom = math.sqrt(na) * math.sqrt(nb)
+        if denom == 0:
+            return None
+        sim = dot / denom
+        return None if math.isnan(sim) else sim
+
+    floats = st.floats(allow_nan=True, allow_infinity=True, width=64)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=6).flatmap(
+            lambda d: st.lists(
+                st.tuples(
+                    st.lists(floats, min_size=d, max_size=d),
+                    st.lists(floats, min_size=d, max_size=d),
+                ),
+                min_size=1,
+                max_size=8,
+            )
+        )
+    )
+    def check(pairs):
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pairs)],
+            "i long, a array<double>, b array<double>",
+        )
+        got = {
+            r.i: r.c
+            for r in df.select(
+                "i", cosine_similarity("a", "b").alias("c")
+            ).collect()
+        }
+        for i, (a, b) in enumerate(pairs):
+            want = py_cosine(a, b)
+            assert got[i] == want, (a, b, got[i], want)
+            if got[i] is not None:
+                assert math.isfinite(got[i]) or math.isinf(got[i])
+                assert not math.isnan(got[i])
+
+    check()
+
+
 def test_dedup_blocking_degenerate_params_rejected(spark):
     """Round-10 continuation of the boundary sweep: banding configs
     whose rows_per_band is 0 (one universal bucket — all-pairs blowup,
