@@ -115,6 +115,56 @@ def test_as_of_join_matches_python_reference_randomized(spark):
         assert {r.lid: (r.a, r.b) for r in out_p.collect()} == want, (lp, rp)
 
 
+def test_as_of_join_explicit_tiebreaker_randomized_reference(spark):
+    """Randomized cross-check of the EXPLICIT-tiebreaker mode under the
+    round-10 residual-tie totality contract: winner = max by
+    (rts, tiebreaker, value-struct) — the tiebreaker takes precedence,
+    the value struct totalizes rows sharing (key, ts, tiebreaker).
+    Duplicate (key, ts, seq) rows are planted on purpose; the result
+    must match the Python reference under every partitioning."""
+    import random
+
+    rng = random.Random(17)
+    keys = ["a", "b"]
+    left = [(rng.choice(keys), rng.randrange(40), i) for i in range(40)]
+    # seq drawn from {0,1,2} over 30 rows on 2 keys with ts in a small
+    # range guarantees duplicate (key, ts, seq) triples with differing
+    # value columns — the exact residual-tie case the contract totalizes
+    right = [
+        (
+            rng.choice(keys),
+            rng.randrange(40),
+            rng.randrange(3),
+            rng.choice([None, rng.randrange(5)]),
+        )
+        for _ in range(30)
+    ]
+    assert len({(r[0], r[1], r[2]) for r in right}) < len(right), (
+        "fixture must contain duplicate (key, ts, tiebreaker) rows"
+    )
+
+    def expect(k, lts):
+        cands = [r for r in right if r[0] == k and r[1] <= lts]
+        if not cands:
+            return None
+        # tiebreaker first, then the value struct (NULL smallest)
+        best = max(
+            cands, key=lambda r: (r[1], r[2], (r[3] is not None, r[3]))
+        )
+        return best[3]
+
+    ldf = spark.createDataFrame(left, "key string, lts long, lid long")
+    rdf = spark.createDataFrame(right, "key string, rts long, seq long, a long")
+    for lp, rp in ((1, 1), (1, 7), (7, 1), (5, 5)):
+        out = as_of_join(
+            ldf.repartition(lp), rdf.repartition(rp),
+            ["key"], "lts", "rts", ["a"], tiebreaker="seq",
+        )
+        got = {r.lid: r.a for r in out.collect()}
+        want = {lid: expect(k, lts) for (k, lts, lid) in left}
+        assert got == want, (lp, rp)
+
+
 def test_as_of_join_explicit_tiebreaker_overrides_struct_order(spark):
     """With tiebreaker=<col>, the equal-ts winner is the MAX of that
     column even when struct order would pick the other row."""

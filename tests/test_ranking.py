@@ -94,6 +94,40 @@ def test_eager_cut_concurrent_flip_last_writer_wins(spark, tmp_path, monkeypatch
     assert getattr(sc, "_dtm_checkpoint_set", None) is None
 
 
+def test_eager_cut_and_cc_share_the_checkpoint_memo(spark, tmp_path):
+    """The point of reusing connected_components' scoping protocol in
+    eager_cut (same _dtm_checkpoint_* attributes): consecutive calls
+    with the SAME root — across the two modules — must not churn UUID
+    subdirectories via repeated setCheckpointDir."""
+    from data_transform_make_spark.operators.checkpointing import eager_cut
+    from data_transform_make_spark.operators.graph import connected_components
+
+    sc = spark.sparkContext
+    root = str(tmp_path / "shared_root")
+    # clean slate: clear the memo AND null the session dir — with a
+    # pre-existing (foreign) dir both modules correctly restore-and-
+    # clear on exit instead of memoizing (the scoped contract), so the
+    # memo persistence under test only applies to the no-prior-dir case
+    sc._dtm_checkpoint_root = None
+    sc._dtm_checkpoint_set = None
+    getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.apply(None))
+
+    eager_cut(spark.range(2), root)
+    set_after_first = sc.getCheckpointDir()
+    # getCheckpointDir reports a URI ('file:/…'); compare on the path
+    assert set_after_first and root in set_after_first
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    connected_components(edges, checkpoint_dir=root, small_graph_threshold=0)
+    # memo hit: cc must NOT have minted a fresh UUID subdir for the root
+    assert sc.getCheckpointDir() == set_after_first
+    eager_cut(spark.range(2), root)
+    assert sc.getCheckpointDir() == set_after_first
+    # cleanup for unrelated tests
+    sc._dtm_checkpoint_root = None
+    sc._dtm_checkpoint_set = None
+
+
 def test_bm25_multi_term_additive(spark):
     docs = spark.createDataFrame(
         [(1, "cat dog"), (2, "cat cat"), (3, "fish")],
