@@ -1,11 +1,24 @@
 """Simulate the driver: vanilla SparkSession (no engine conf), smoke entry(),
-then run every queries() entry at sf0.01 vs its DuckDB oracle twin."""
-import math, sys, time
+then run every queries() entry at sf0.01 vs its DuckDB oracle twin.
+
+SIM_MASTER / SIM_SHUFFLE_PARTITIONS env overrides turn the same run into
+the corpus-wide PARTITION-INVARIANCE certification (the r8/r9 evidence:
+SIM_MASTER=local[3] SIM_SHUFFLE_PARTITIONS=7 must still end FAILS: none —
+every oracle MATCH is then a proof the result does not depend on the
+parallelism or shuffle layout). Defaults stay the vanilla driver shape."""
+import math, os, sys, time
 sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import SparkSession
 
-spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+_builder = SparkSession.builder.master(
+    os.environ.get("SIM_MASTER", "local[8]")
+).appName("driver-sim")
+if os.environ.get("SIM_SHUFFLE_PARTITIONS"):
+    _builder = _builder.config(
+        "spark.sql.shuffle.partitions", os.environ["SIM_SHUFFLE_PARTITIONS"]
+    )
+spark = _builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as E
