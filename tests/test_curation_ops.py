@@ -271,6 +271,29 @@ class TestCappedCandidateInjection:
         for k, n in exact.items():
             assert capped[k] >= n
 
+    def test_reliable_checkpoint_dir_end_to_end(self, spark, sf_dir, tmp_path):
+        # checkpoint_dir threads through the shingle cut, the CC rounds
+        # and the stats cut (r10) — both pipelines must produce stats
+        # byte-identical to the localCheckpoint default, with checkpoint
+        # files actually landing under the given root.
+        import os
+
+        from data_transform_make_spark.plans.training_corpus import (
+            build_training_corpus,
+            build_training_corpus_clustered,
+        )
+
+        docs = self._docs(spark, sf_dir)
+        root = str(tmp_path / "pipe_ckpt")
+        for build in (build_training_corpus, build_training_corpus_clustered):
+            base = sorted(map(tuple, build(docs).collect()))
+            reli = sorted(map(tuple, build(docs, checkpoint_dir=root).collect()))
+            assert base == reli and base, build.__name__
+        assert any(files for _, _, files in os.walk(root))
+        sc = spark.sparkContext
+        sc._dtm_checkpoint_root = None
+        sc._dtm_checkpoint_set = None
+
     def test_pairs_injection_matches_max_df_path(self, spark, sf_dir):
         # Injecting the precomputed capped candidate frame must be
         # byte-identical to letting the builder generate it (the

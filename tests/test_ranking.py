@@ -94,6 +94,35 @@ def test_eager_cut_concurrent_flip_last_writer_wins(spark, tmp_path, monkeypatch
     assert getattr(sc, "_dtm_checkpoint_set", None) is None
 
 
+def test_eager_cut_restores_foreign_dir_when_checkpoint_raises(
+    spark, tmp_path, monkeypatch
+):
+    """The finally path: an exception DURING the reliable checkpoint must
+    still put a foreign pre-existing session dir back exactly and clear
+    the memo — a crashed cut cannot leave the session pointed at our
+    directory."""
+    import pytest
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from data_transform_make_spark.operators.checkpointing import eager_cut
+
+    sc = spark.sparkContext
+    foreign = str(tmp_path / "foreign")
+    sc.setCheckpointDir(foreign)
+    pre = sc.getCheckpointDir()
+
+    def boom(self, eager=True):
+        raise RuntimeError("simulated checkpoint failure")
+
+    monkeypatch.setattr(DataFrame, "checkpoint", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        eager_cut(spark.range(3), str(tmp_path / "ours"))
+    monkeypatch.undo()
+    assert sc.getCheckpointDir() == pre
+    assert getattr(sc, "_dtm_checkpoint_root", None) is None
+    assert getattr(sc, "_dtm_checkpoint_set", None) is None
+
+
 def test_eager_cut_and_cc_share_the_checkpoint_memo(spark, tmp_path):
     """The point of reusing connected_components' scoping protocol in
     eager_cut (same _dtm_checkpoint_* attributes): consecutive calls

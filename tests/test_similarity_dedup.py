@@ -53,6 +53,29 @@ def test_ngram_jaccard_materialize_modes_agree(spark, sf_dir):
     assert a == b and a
 
 
+def test_ngram_jaccard_reliable_checkpoint_dir_agrees(spark, sf_dir, tmp_path):
+    """checkpoint_dir routes the shingle-projection cut through reliable
+    DataFrame.checkpoint — pair set and values must be identical to the
+    default localCheckpoint path (bm25's twin test covers the restore
+    contract; this pins the dedup consumer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.2).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, 0.2,
+            checkpoint_dir=str(tmp_path / "ng_ckpt"),
+        ).collect()
+    )
+    assert a == b and a
+    sc = spark.sparkContext
+    sc._dtm_checkpoint_root = None
+    sc._dtm_checkpoint_set = None
+
+
 def test_simhash_near_dup_detection(spark):
     """Synthesized corpus (the fixtures have no exact duplicates below
     sf0.1): identical texts must pair at hamming 0; a one-word edit of a
