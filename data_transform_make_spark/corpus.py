@@ -1610,17 +1610,24 @@ def d2_ngram_jaccard(
     WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
     """,
 )
-def d2b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d2b_ngram_jaccard_capped(
+    spark: SparkSession, sf_dir: str, eager: bool = True
+) -> DataFrame:
     """The hot-shingle safety valve, oracle-checked end-to-end: same exact
     3-gram Jaccard as d2 but shingles appearing in > 5 documents are
     excluded from pair generation (set sizes stay exact, so surviving
     pairs are under-measured, never over-measured). The only LSH-family
     cap DuckDB can twin exactly — the hash-based caps (d3/d4/d5b) share
     the same `_drop_hot_buckets` code path and are property-tested
-    capped ⊆ exact instead."""
+    capped ⊆ exact instead.
+
+    ``eager=False`` (tools/explain_audit.py, round 11) exposes the
+    identical composed plan without the localCheckpoint cut so the audit
+    asserts the real scan + pushdown shapes, exactly as d2/d3 do."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", shingle_n=3, threshold=0.2, max_df=5
+        docs, "doc_id", "text", shingle_n=3, threshold=0.2, max_df=5,
+        materialize=eager,
     )
 
 
@@ -1687,7 +1694,9 @@ def _duck_minhash_md5_sql(
 
 
 @_register("d3b_minhash_lsh_md5", _duck_minhash_md5_sql())
-def d3b_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d3b_minhash_lsh_md5(
+    spark: SparkSession, sf_dir: str, eager: bool = True
+) -> DataFrame:
     """The ENTIRE MinHash-LSH banding pipeline, hash-checked end-to-end:
     identical algorithm to d3 (signatures -> band hashes -> candidate
     join -> agreement re-score) with the hash family swapped from
@@ -1696,11 +1705,15 @@ def d3b_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     regenerates every expression mechanically, so the banding JOIN
     itself — not just its inputs — is under the value-hash gate. d3
     stays the production default (xxhash64 is ~2× faster per shingle);
-    this entry certifies the shared code path."""
+    this entry certifies the shared code path.
+
+    ``eager=False`` (tools/explain_audit.py, round 11) skips the
+    signature persist + localCheckpoint so the audit sees the full lazy
+    plan (scan + pushdown), exactly as d2/d3 do."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.2,
-        hash_family="md5",
+        hash_family="md5", eager=eager,
     )
 
 
@@ -4035,6 +4048,15 @@ def ll3_training_corpus_capped(spark: SparkSession, sf_dir: str, eager: bool = T
 # round, per the r9 verdict): the 16 r7 keys (ll1/ll2/ll3 fronted —
 # their plans changed in the r9 d2 fold) + the alphabetical head of
 # the 43 r8 keys. After r10 no row is older than r8.
+#
+# ROUND 11 (registry still FROZEN at 109 — steady rotation, per the
+# r10 verdict item 1): the 16 keys whose newest row is r8 (sql1,
+# st2–st5, st7, t5, t7, ta1, ta2, up1, w3, w6, w7, x1, x2 — exactly
+# the set the r10 comment named) fronted, then the alphabetically-
+# first 27 of the 43 keys whose newest row is r9. The remaining 16
+# r9 keys (n3, q3, q5, rc1, s1, sd1, st8, ta3, ta4, ta5, tc1, u1,
+# unp1, w1, w4, w5) plus the oldest r10 block lead the r12 rotation.
+# After r11 no key of any kind has a row older than r9.
 _DRIVER_WINDOW = [
     # core anchors (certified every round)
     "p1_status_gate",
@@ -4044,60 +4066,57 @@ _DRIVER_WINDOW = [
     "a1_a2_order_counter_deltas",
     "q1_pricing_summary",
     "st1_stream_window_agg",
-    # (a) the 16 r7-stale keys — the only rows older than r8 after the
-    # r9 treadmill finish. Fronted by the three training-corpus
-    # pipelines whose plans changed in the r9 d2 shingle-projection
-    # fold (their external rows predate the fold; the fold was
-    # equivalence-pinned and full-sim re-certified, but the external
-    # record comes first — r9 verdict item 1).
-    "ll1_training_corpus",
-    "ll2_training_corpus_clustered",
-    "ll3_training_corpus_capped",
-    "dec1_decontamination",
-    "mix1_domain_mixing",
-    "mo1_moment_aggs",
-    "pii1_redaction",
-    "pu1_scalar_pandas_udf",
-    "samp1_stratified_sample",
-    "sk1_salted_join",
-    "sp1_hash_split",
-    "st6_stream_ingest_routing",
-    "tf1_keyword_topk",
-    "udtf1_lateral_tokenize",
-    "w2_topk_per_group",
-    "w8_percent_rank",
+    # (a) the 16 r8-stale keys — the only rows older than r9 after the
+    # r10 rotation.
+    "sql1_raw_sql",
+    "st2_stream_dedup",
+    "st3_stream_stateful_counters",
+    "st4_stream_stream_join",
+    "st5_stream_session_window",
+    "st7_stream_static_join",
+    "t5_falsy_defaults",
+    "t7_js_parse_int",
+    "ta1_text_stats",
+    "ta2_lang_id",
+    "up1_unpivot",
+    "w3_sessionize",
+    "w6_lag_lead",
+    "w7_ntile",
+    "x1_json_extract",
+    "x2_explode_sequence",
     # (b) the alphabetically-first 27 of the 43 keys whose newest row
-    # is r8 (the remaining 16 — sql1, st2–st5, st7, t5, t7, ta1, ta2,
-    # up1, w3, w6, w7, x1, x2 — plus the oldest r9 block lead the r11
-    # rotation). After r10 no key of any kind has a row older than r8:
-    # the steady ~2-round rotation is fully in force.
-    "a3_insufficient_stock",
-    "a4_a6_status_transitions",
-    "a5_counter_pivot",
-    "agg1_ordered_collect",
-    "arr1_array_hofs",
-    "bm25_1_query_ranking",
-    "cd1_distinct_agg",
-    "cr1_compression_ratio",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard",
-    "dc1_dedup_clusters",
-    "dc2_dedup_clusters_capped",
-    "dq1_column_profile",
-    "dt1_date_buckets",
-    "g3_grouping_sets",
-    "h1_having",
-    "j2_as_of_join",
-    "j3_range_join",
-    "lm1_unigram_freq_score",
-    "mf1_map_explode",
-    "n2_lsh_topk",
-    "n3b_ivf_topk_oracle",
-    "pack1_token_budget",
-    "par1_paragraph_dedup",
-    "pc1_percentiles",
-    "q4_order_priority",
-    "q6_filter_agg",
+    # is r9. Includes d5/d5d/n1 (the r10 cosine NaN-NULL fix touched
+    # their expressions; the r11 Inf-denom totalization touches them
+    # again — fresh external rows land the same round as the change)
+    # and d2b/d3b (the r11 lazy-twin audit threading — plan-neutral by
+    # construction, externally re-certified here anyway).
+    "apx1_sketch_aggs",
+    "ch1_doc_chunks",
+    "cs1_correlated_subquery",
+    "d2b_ngram_jaccard_capped",
+    "d3_minhash_lsh",
+    "d3b_minhash_lsh_md5",
+    "d4_simhash",
+    "d4b_simhash_md5",
+    "d5_embedding_near_dup",
+    "d5b_embedding_near_dup_lsh",
+    "d5c_embedding_near_dup_lsh_planted",
+    "d5d_embedding_lsh_oracle",
+    "d6_editdist_recheck",
+    "diff1_snapshot_diff",
+    "g1_rollup",
+    "g2_cube",
+    "ga1_pandas_grouped_agg",
+    "gf1_calendar_gap_fill",
+    "hop1_hopping_window_agg",
+    "j4_semi_anti_join",
+    "mm1_media_metadata",
+    "mm2_media_decode",
+    "mm2b_media_decode_oracle",
+    "mm3_frame_sample",
+    "mm4_resize",
+    "mm4b_resize_oracle",
+    "n1_topk_cosine",
 ]
 
 

@@ -35,16 +35,32 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL when either vector has zero norm — and
-    NULL, never NaN, when any element is non-finite (review, round 10):
-    one NaN element makes dot and norms NaN, and one ±Inf element makes
-    the ratio Inf/Inf = NaN. Spark orders NaN ABOVE every double and NaN
-    passes every ``>= threshold`` predicate, so a single corrupt
-    embedding would otherwise silently win ALL top-k queries
-    (brute/LSH/IVF) and pair with everything in the near-dup operators.
-    NULL does neither: it sorts last under ``desc`` and fails predicates.
+    NULL, never NaN and never a fabricated finite score, whenever the
+    computation is non-finite anywhere (review, rounds 10+11):
+
+    - One NaN element makes dot and norms NaN, and ±Inf paired with
+      Inf makes Inf/Inf = NaN. Spark orders NaN ABOVE every double and
+      NaN passes every ``>= threshold`` predicate, so a single corrupt
+      embedding would otherwise silently win ALL top-k queries
+      (brute/LSH/IVF) and pair with everything in the near-dup
+      operators (round 10).
+    - A non-finite DENOMINATOR with a finite dot dodges the NaN guard:
+      an element like 1e200 squares to Inf in the norm fold while the
+      dot stays finite, so ``finite/Inf`` scored 0.0 — a *finite*
+      number invented from a corrupt input (round 11). Harmless for
+      ranking (0.0 never wins), but the contract says NULL, so a
+      non-finite ``denom`` (or a ±Inf ratio, the symmetric overflow in
+      ``dot``) is now NULL too.
+
+    NULL does none of the bad things: it sorts last under ``desc`` and
+    fails every predicate. For finite inputs with a finite ratio the
+    result is bit-identical to the pre-guard fold (same accumulation
+    order; the guards only ever route to NULL, never rescale).
     """
+    inf = F.lit(float("inf"))
     denom = l2_norm(a) * l2_norm(b)
     sim = dot(a, b) / denom
+    non_finite = F.isnan(sim) | (denom == inf) | (sim == inf) | (sim == -inf)
     return F.when(denom == 0, F.lit(None).cast("double")).otherwise(
-        F.when(F.isnan(sim), F.lit(None).cast("double")).otherwise(sim)
+        F.when(non_finite, F.lit(None).cast("double")).otherwise(sim)
     )

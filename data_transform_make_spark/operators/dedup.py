@@ -564,9 +564,20 @@ def ngram_jaccard_pairs(
     route the cut through reliable ``DataFrame.checkpoint``
     (:func:`..checkpointing.eager_cut`, the connected_components
     scoping protocol), or ``materialize=False`` for recompute-on-loss
-    lineage.
+    lineage. The two are mutually exclusive: ``checkpoint_dir`` is only
+    consumed by the ``materialize=True`` cut, so passing it alongside
+    ``materialize=False`` would checkpoint NOTHING while the caller
+    believes their lineage is reliably cut — refused loudly (advice,
+    round 10).
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    if checkpoint_dir is not None and not materialize:
+        raise ValueError(
+            "ngram_jaccard_pairs: checkpoint_dir was given but "
+            "materialize=False — nothing would be checkpointed; pass "
+            "materialize=True for a reliable cut or drop checkpoint_dir "
+            "for recompute-on-loss lineage"
+        )
     spread = _spread(df, id_col)
     proj = spread.select(
         F.col(id_col).alias("__id"),

@@ -76,7 +76,11 @@ def bm25_topk(
     ``DataFrame.checkpoint`` via :func:`..checkpointing.eager_cut`
     (the connected_components scoping protocol) and survives executor
     loss at the cost of one distributed write — or use
-    ``materialize=False`` to keep recompute-on-loss lineage.
+    ``materialize=False`` to keep recompute-on-loss lineage. The two
+    are mutually exclusive: ``checkpoint_dir`` is only consumed by the
+    ``materialize=True`` cut, so the contradictory combination is
+    refused loudly instead of silently checkpointing nothing (advice,
+    round 10).
 
     Output: ``(id, dl, tf_<term>..., score)`` ordered by
     ``(score DESC, id)``. ``dl`` is the whitespace-token document length;
@@ -90,6 +94,13 @@ def bm25_topk(
         # the nprobe/radius class (round 9): top-0 is a silently-empty
         # result, not a cheaper query — refused across all top-k ops
         raise ValueError(f"bm25_topk: k must be >= 1, got {k!r}")
+    if checkpoint_dir is not None and not materialize:
+        raise ValueError(
+            "bm25_topk: checkpoint_dir was given but materialize=False — "
+            "nothing would be checkpointed; pass materialize=True for a "
+            "reliable cut or drop checkpoint_dir for recompute-on-loss "
+            "lineage"
+        )
     if not query_terms:
         raise ValueError("bm25_topk: need at least one query term")
     if len(set(query_terms)) != len(query_terms):

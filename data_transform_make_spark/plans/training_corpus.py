@@ -276,8 +276,19 @@ def build_training_corpus(
     real cluster a lost executor kills the job. A reliable store path
     routes every cut (the shingle projection inside pair generation and
     the stats result) through ``DataFrame.checkpoint`` instead
-    (operators/checkpointing.eager_cut).
+    (operators/checkpointing.eager_cut). Under ``eager=False`` there are
+    NO cuts in this pipeline at all, so a supplied ``checkpoint_dir``
+    would be silently ignored — refused loudly instead (advice, round
+    10; contrast :func:`build_training_corpus_clustered`, whose CC
+    rounds consume it even when ``eager=False``).
     """
+    if checkpoint_dir is not None and not eager:
+        raise ValueError(
+            "build_training_corpus: checkpoint_dir was given but "
+            "eager=False — this pipeline performs no lineage cuts at all "
+            "under eager=False, so nothing would be checkpointed; pass "
+            "eager=True for reliable cuts or drop checkpoint_dir"
+        )
     # the deduped corpus feeds two consumers (pair generation + the final
     # anti-join); without materialization Spark re-derives the quality
     # regexes and the fingerprint shuffle per consumer (audited: 4 scans
@@ -330,7 +341,13 @@ def build_training_corpus_clustered(
     the capped pipeline's kept set is always a superset of the exact
     pipeline's kept set (property-tested in tests/test_curation_ops.py).
     ``checkpoint_dir`` as in :func:`build_training_corpus`, additionally
-    forwarded to the per-round CC lineage cuts (operators/graph.py).
+    forwarded to the per-round CC lineage cuts (operators/graph.py) —
+    which run eagerly regardless, so here ``eager=False`` +
+    ``checkpoint_dir`` is NOT contradictory (the CC cuts still consume
+    the reliable store); only the pair-generation/stats cuts are skipped,
+    and the dir is withheld from :func:`~..operators.dedup.
+    ngram_jaccard_pairs` in that mode rather than tripping its
+    no-op refusal.
     """
     from ..operators.graph import connected_components
 
@@ -344,7 +361,8 @@ def build_training_corpus_clustered(
         pairs = ngram_jaccard_pairs(
             exact, "doc_id", "text", shingle_n=3,
             threshold=near_dup_threshold, max_df=max_df,
-            materialize=eager, checkpoint_dir=checkpoint_dir,
+            materialize=eager,
+            checkpoint_dir=checkpoint_dir if eager else None,
         )
     cc = connected_components(
         pairs, src="id_a", dst="id_b", checkpoint_dir=checkpoint_dir

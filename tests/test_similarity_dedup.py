@@ -426,7 +426,12 @@ def test_corrupt_embedding_never_wins_topk_or_pairs(spark):
     passes >= predicates, so one NaN/Inf element in a corrupt embedding
     used to (a) rank that row FIRST in every cosine top-k and (b) pair
     it with everything in the near-dup operators. cosine_similarity now
-    yields NULL for non-finite inputs — sorts last, fails predicates."""
+    yields NULL for non-finite inputs — sorts last, fails predicates.
+
+    Round 11 totalizes the contract: id 5 is the case the round-10 NaN
+    guard missed — a huge-but-finite element (1e200) squares to Inf in
+    the norm fold while the dot stays finite, so finite/Inf used to
+    score 0.0 (a finite number from a corrupt input) instead of NULL."""
     from data_transform_make_spark.functions.vectors import cosine_similarity
     from data_transform_make_spark.operators.dedup import embedding_near_dup_pairs
 
@@ -436,10 +441,11 @@ def test_corrupt_embedding_never_wins_topk_or_pairs(spark):
             (2, [0.9, 0.1]),
             (3, [float("nan"), 0.5]),
             (4, [float("inf"), 1.0]),
+            (5, [1e200, 1.0]),
         ],
         "id long, vec array<double>",
     )
-    top = brute_force_topk(vecs, "vec", [1.0, 0.0], k=4, id_col="id").collect()
+    top = brute_force_topk(vecs, "vec", [1.0, 0.0], k=5, id_col="id").collect()
     # real vectors first, corrupt ones (NULL cosine) last — never first
     assert [r.id for r in top[:2]] == [1, 2]
     assert all(r.cosine is None for r in top[2:])
@@ -455,7 +461,7 @@ def test_corrupt_embedding_never_wins_topk_or_pairs(spark):
     row = vecs.filter("id >= 3").select(
         cosine_similarity("vec", F.array(F.lit(1.0), F.lit(0.0))).alias("c")
     ).collect()
-    assert all(r.c is None for r in row)
+    assert len(row) == 3 and all(r.c is None for r in row)
     assert not any(r.c is not None and math.isnan(r.c) for r in row)
 
 
@@ -464,7 +470,13 @@ def test_cosine_similarity_property_vs_python_reference(spark):
     bit-exact Python reference: same left-fold accumulation order, sqrt
     and division are IEEE correctly-rounded in both runtimes, so finite
     results must be EXACTLY equal — and zero-norm / non-finite inputs
-    must be None on both sides (never NaN, never a ranked value)."""
+    must be None on both sides (never NaN, never a ranked value).
+
+    Round 11: the reference mirrors the totalized contract — a
+    non-finite denominator or a ±Inf ratio is None too, so every
+    returned value is finite, and the generator plants huge-magnitude
+    finite floats (1e155..1e308) whose squares overflow the norm fold
+    to exercise exactly that branch."""
     import math
 
     from hypothesis import given, settings
@@ -486,9 +498,17 @@ def test_cosine_similarity_property_vs_python_reference(spark):
         if denom == 0:
             return None
         sim = dot / denom
-        return None if math.isnan(sim) else sim
+        if math.isnan(sim) or math.isinf(denom) or math.isinf(sim):
+            return None
+        return sim
 
-    floats = st.floats(allow_nan=True, allow_infinity=True, width=64)
+    floats = st.one_of(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        # huge finite magnitudes: x*x overflows to Inf in the norm fold
+        # while the dot can stay finite — the round-11 denom guard path
+        st.floats(min_value=1e155, max_value=1e308, width=64),
+        st.floats(min_value=-1e308, max_value=-1e155, width=64),
+    )
 
     @settings(max_examples=15, deadline=None)
     @given(
@@ -518,8 +538,7 @@ def test_cosine_similarity_property_vs_python_reference(spark):
             want = py_cosine(a, b)
             assert got[i] == want, (a, b, got[i], want)
             if got[i] is not None:
-                assert math.isfinite(got[i]) or math.isinf(got[i])
-                assert not math.isnan(got[i])
+                assert math.isfinite(got[i])
 
     check()
 
@@ -576,6 +595,48 @@ def test_topk_k_below_one_rejected(spark):
     ):
         with pytest.raises(ValueError, match="k must be >= 1"):
             call()
+
+
+def test_checkpoint_dir_without_materialize_rejected(spark, tmp_path):
+    """Round-11 advice close: checkpoint_dir is only consumed by the
+    materialize/eager cut, so supplying it with materialize=False used
+    to be a silent no-op — the caller believes their lineage is reliably
+    cut when NOTHING was checkpointed. Refused loudly across the three
+    operators that take both knobs; the clustered curation pipeline is
+    the documented exception (its CC rounds consume the dir even under
+    eager=False) and must keep accepting the combination."""
+    import pytest
+
+    from data_transform_make_spark.operators.dedup import ngram_jaccard_pairs
+    from data_transform_make_spark.operators.ranking import bm25_topk
+    from data_transform_make_spark.plans.training_corpus import (
+        build_training_corpus,
+        build_training_corpus_clustered,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e", "en"), (2, "a b c d e", "en")],
+        "doc_id long, text string, lang string",
+    )
+    ckpt = str(tmp_path / "reliable")
+    with pytest.raises(ValueError, match="nothing would be checkpointed"):
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", materialize=False, checkpoint_dir=ckpt
+        )
+    with pytest.raises(ValueError, match="nothing would be checkpointed"):
+        bm25_topk(
+            docs, "doc_id", "text", ["a"], materialize=False,
+            checkpoint_dir=ckpt,
+        )
+    with pytest.raises(ValueError, match="no lineage cuts"):
+        build_training_corpus(docs, eager=False, checkpoint_dir=ckpt)
+    # the clustered pipeline routes the dir to the CC per-round cuts even
+    # when eager=False — NOT contradictory, must not raise, and must not
+    # trip ngram_jaccard_pairs' refusal through the internal forwarding
+    out = build_training_corpus_clustered(
+        docs, quality_min=0.0, eager=False, checkpoint_dir=ckpt
+    )
+    assert out.count() >= 0
 
 
 def test_dot_mismatched_dims_null_never_outranks(spark):

@@ -82,11 +82,21 @@ def main() -> int:
     for name, fn in sorted(qs.items()):
         try:
             # entries whose default path eagerly materializes through a
-            # scoped-cache localCheckpoint (d3, dec1, ll1-ll3, and since
-            # r10 bm25_1 and d2 — the r9 fold had left them reporting
-            # scans=0) expose eager=False: the identical composed plan,
-            # fully lazy, so the audit sees the real shapes (scan +
-            # pushdown included) instead of one Scan ExistingRDD
+            # scoped-cache localCheckpoint (d3, dec1, ll1-ll3, since r10
+            # bm25_1 and d2, and since r11 d2b and d3b — the r9 fold had
+            # left them reporting scans=0) expose eager=False: the
+            # identical composed plan, fully lazy, so the audit sees the
+            # real shapes (scan + pushdown included) instead of one Scan
+            # ExistingRDD.
+            #
+            # KNOWN scans=0 residual, inherent and accepted: dc1/dc2
+            # (connected-components clustering). Iterative CC cuts
+            # lineage EVERY round by construction (operators/graph.py —
+            # per-round localCheckpoint/checkpoint is the algorithm's
+            # convergence + stack-depth guarantee, not a display choice),
+            # so the audited final frame is always rooted at a cut, never
+            # at the parquet scan. Their input scan shapes ARE audited
+            # upstream via d2/d2b (same pair-generation plan feeding CC).
             try:
                 df = fn(spark, sf_dir, eager=False)
             except TypeError:
