@@ -23,6 +23,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _exact_restore(sc, restore_ckpt: str) -> str:
+    """Restore the session checkpoint dir to EXACTLY ``restore_ckpt``.
+
+    Returns the branch taken, for version pinning (verdict, round 10):
+
+    - ``"private-setter"`` — the Scala ``SparkContext.checkpointDir_$eq``
+      setter via py4j. Private API: a Spark minor-version bump could
+      remove or rename it, silently flipping every restore to the
+      fallback below and quietly changing restore semantics.
+      tests/test_checkpointing.py pins which branch runs on the current
+      Spark version so that flip is CAUGHT, not discovered in production.
+    - ``"public-fallback"`` — public ``setCheckpointDir(restore_ckpt)``.
+      Correct but inexact: the public API treats its argument as a ROOT
+      and mints a fresh UUID subdir under it, so a restored path drifts
+      one level deeper per save/restore cycle (restore_ckpt is already
+      the UUID'd path recorded from ``getCheckpointDir``).
+    """
+    try:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(restore_ckpt)
+        )
+        return "private-setter"
+    except Exception:
+        sc.setCheckpointDir(restore_ckpt)
+        return "public-fallback"
+
+
 def eager_cut(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     """Eagerly materialize ``df`` and cut its lineage.
 
@@ -63,14 +90,10 @@ def eager_cut(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
                 sc._dtm_checkpoint_root = None
                 sc._dtm_checkpoint_set = None
             elif restore_ckpt is not None:
-                try:
-                    # exact restore of the already-UUID'd path (public
-                    # setCheckpointDir would mint a fresh subdir under it)
-                    getattr(sc._jsc.sc(), "checkpointDir_$eq")(
-                        sc._jvm.scala.Option.apply(restore_ckpt)
-                    )
-                except Exception:
-                    sc.setCheckpointDir(restore_ckpt)
+                # exact restore of the already-UUID'd path (public
+                # setCheckpointDir would mint a fresh subdir under it);
+                # branch pinned by tests/test_checkpointing.py
+                _exact_restore(sc, restore_ckpt)
                 sc._dtm_checkpoint_root = None
                 sc._dtm_checkpoint_set = None
             # restore_ckpt None + no flip: leave our dir and memo in

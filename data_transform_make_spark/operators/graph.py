@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .checkpointing import _exact_restore
+
 
 def connected_components(
     pairs: DataFrame,
@@ -147,16 +149,11 @@ def connected_components(
             return
         if restore_ckpt is None:
             return
-        try:
-            # exact restore: put the saved (already UUID'd) path back as
-            # the Scala var itself. The public setCheckpointDir would
-            # mint a fresh UUID subdir UNDER it — still the other
-            # caller's tree, but one level deeper per call.
-            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
-                sc._jvm.scala.Option.apply(restore_ckpt)
-            )
-        except Exception:
-            sc.setCheckpointDir(restore_ckpt)
+        # exact restore: put the saved (already UUID'd) path back as the
+        # Scala var itself; the public fallback would mint a fresh UUID
+        # subdir UNDER it. Shared with eager_cut, and the private-vs-
+        # fallback branch is version-pinned in tests/test_checkpointing.py.
+        _exact_restore(sc, restore_ckpt)
         sc._dtm_checkpoint_root = None
         sc._dtm_checkpoint_set = None
 

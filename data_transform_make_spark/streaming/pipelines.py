@@ -319,6 +319,22 @@ def _checkpointed_state_pipeline(
             # THIS checkpoint's commits/ log. A retargeted link fails
             # that (the other checkpoint's commit ids don't cover this
             # state's epochs) and falls through to the loud refusal.
+            #
+            # RESIDUAL GAP, inherent (advice, round 10 — documented, not
+            # closable): the coverage check excludes the NEWEST epoch
+            # because a same-lineage crash legitimately leaves one
+            # committed epoch dir with no commit file (_SUCCESS written,
+            # offset commit not yet). With <= 1 committed epoch the
+            # epochs[:-1] check is therefore VACUOUSLY true, and it is
+            # also satisfied coincidentally if the foreign checkpoint
+            # happens to have commits for the same batch ids. In both
+            # cases a retargeted symlink still rebinds and stale epoch_0
+            # state can swallow the new lineage's first batch. Closing
+            # it would refuse the legitimate crash-restart, which is the
+            # more common event — so the migration path is safe BY
+            # CONSTRUCTION only at >= 2 committed epochs; operators
+            # migrating younger state through retargeted symlinks should
+            # use a fresh state_dir instead.
             if bound != lineage and bound == os.path.abspath(checkpoint_dir):
                 epochs = sorted(
                     int(d[len("epoch_"):])
