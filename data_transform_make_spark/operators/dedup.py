@@ -228,6 +228,24 @@ def minhash_signatures(
     )
 
 
+def _check_unit_threshold(value: float, fn: str) -> None:
+    """Refuse similarity thresholds > 1 (review, round 11).
+
+    Jaccard/estimated-Jaccard live in [0, 1] and cosine in [-1, 1] (our
+    cosine is NULL for anything non-finite), so ``score >= threshold``
+    with threshold > 1 is PROVABLY empty — the classic unit mistake is
+    passing a percentage (``threshold=95`` for "95%"), which silently
+    returns zero pairs and reads as "no near-dups found". Thresholds at
+    or below the lower bound merely accept every candidate pair — a
+    visible (quadratic) choice, not a silent one — and stay allowed."""
+    if value > 1:
+        raise ValueError(
+            f"{fn}: threshold must be <= 1 (similarity scores live in "
+            f"[-1, 1]), got {value!r} — did you pass a percentage? "
+            f"Use {value!r}/100"
+        )
+
+
 def _drop_hot_buckets(
     exploded: DataFrame, bucket_cols: list[str], max_bucket_df: int
 ) -> DataFrame:
@@ -332,6 +350,7 @@ def minhash_lsh_pairs(
             f"({num_hashes!r}) — a remainder silently drops the signature "
             "tail from every band"
         )
+    _check_unit_threshold(threshold, "minhash_lsh_pairs")
     rows_per_band = num_hashes // bands
     owns_cache = signatures is None and eager
     if signatures is not None:
@@ -571,6 +590,7 @@ def ngram_jaccard_pairs(
     round 10).
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    _check_unit_threshold(threshold, "ngram_jaccard_pairs")
     if checkpoint_dir is not None and not materialize:
         raise ValueError(
             "ngram_jaccard_pairs: checkpoint_dir was given but "
@@ -672,6 +692,7 @@ def embedding_near_dup_pairs(
     the approximate operator has an exact, DuckDB-checkable twin to be
     measured against. Returns (id_a, id_b, cosine).
     """
+    _check_unit_threshold(threshold, "embedding_near_dup_pairs")
     from ..functions.vectors import cosine_similarity
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
@@ -731,6 +752,7 @@ def embedding_near_dup_pairs_lsh(
     """
     if multiprobe_hamming not in (0, 1):
         raise ValueError("multiprobe_hamming supports 0 or 1 bit-flips")
+    _check_unit_threshold(threshold, "embedding_near_dup_pairs_lsh")
     from ..functions.vectors import cosine_similarity
     from .similarity import _hyperplanes, hyperplane_bucket
 

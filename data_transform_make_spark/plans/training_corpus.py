@@ -51,8 +51,38 @@ def mulhash32(id_col, mult: int):
     return (hi * 65536 + lo) % SPLIT_MOD
 
 
+def _check_hash_cut(value, param: str, fn: str) -> None:
+    """Refuse non-integer / out-of-range hash thresholds (review, r11).
+
+    Every threshold compared against :func:`mulhash32` is an EXACT
+    integer out of 2^32. The natural mistake is passing a FRACTION
+    (``train_cut=0.8`` for "80% train"): the hash is an integer >= 0, so
+    ``hash < 0.8`` holds only for hash == 0 — ~1 in 4.3 billion rows
+    lands on the keep side, a plausible-looking but silently near-empty
+    split/mix. Floats are therefore refused outright (even integral
+    ones — an integral float is still evidence the caller thinks in
+    fractions), as are ints outside [0, 2^32] that silently pin every
+    row to one side."""
+    if isinstance(value, bool) or not isinstance(value, int):
+        raise ValueError(
+            f"{fn}: {param} must be an exact integer threshold out of "
+            f"2^32 (e.g. SPLIT_MOD // 2 for ~half), got {value!r} — a "
+            "fraction here silently keeps ~nothing (the hash is an "
+            "integer, so hash < 0.8 means hash == 0)"
+        )
+    if not (0 <= value <= SPLIT_MOD):
+        raise ValueError(
+            f"{fn}: {param} must be in [0, 2^32], got {value!r} — values "
+            "outside pin every row to one side silently"
+        )
+
+
 def hash_split(id_col, train_cut: int = SPLIT_TRAIN_CUT):
-    """Deterministic train/eval assignment by multiplicative hash (sp1)."""
+    """Deterministic train/eval assignment by multiplicative hash (sp1).
+
+    ``train_cut`` is an exact integer out of 2^32, never a fraction —
+    see :func:`_check_hash_cut` (review, round 11)."""
+    _check_hash_cut(train_cut, "train_cut", "hash_split")
     return F.when(
         mulhash32(id_col, SPLIT_MULT) < train_cut,
         "train",
@@ -402,7 +432,18 @@ def domain_mix(
     repartitions keep exactly the same documents, which ``sample()`` /
     TABLESAMPLE cannot promise. At 100 TB this runs at scan speed and
     composes with any downstream stage.
+
+    Thresholds are validated as exact ints out of 2^32 — a float
+    fraction (``{"en": 0.5}``) would silently keep ~nothing — and an
+    EMPTY map (drops every row) is refused (review, round 11).
     """
+    if not fractions:
+        raise ValueError(
+            "domain_mix: fractions is empty — every row would be dropped "
+            "silently; map each group to keep (or omit domain_mix)"
+        )
+    for g, cut in fractions.items():
+        _check_hash_cut(cut, f"fractions[{g!r}]", "domain_mix")
     h = mulhash32(id_col, MIX_MULT)
     keep = F.lit(False)
     for g, cut in fractions.items():
@@ -471,7 +512,16 @@ def pack_token_budget(
     budget is excluded (strict prefix semantics, exact on both engines —
     quality and token counts are integer-derived).
     Returns the kept rows plus (quality, n_tokens, cum_tokens).
+
+    ``budget_tokens < 1`` is refused: a zero/negative budget is a
+    silently-empty corpus masquerading as a cheaper selection (the k<1
+    top-k class, review round 11).
     """
+    if budget_tokens < 1:
+        raise ValueError(
+            f"pack_token_budget: budget_tokens must be >= 1, got "
+            f"{budget_tokens!r} — a non-positive budget selects nothing"
+        )
     q = quality_score(text_col).alias("quality")
     t = token_count(text_col).alias("n_tokens")
     ranked = _spread(docs, id_col).select("*", q, t)

@@ -838,3 +838,73 @@ class TestNullEdgeEndpoints:
             ).collect()
         }
         assert fast == want and dist == want
+
+
+class TestHashThresholdGuards:
+    """Round-11 boundary sweep: every threshold compared against
+    mulhash32 is an exact integer out of 2^32. The natural mistake —
+    passing a FRACTION (0.8 for "80%") — used to keep ~1 in 4.3 billion
+    rows (hash < 0.8 only when hash == 0): a plausible-looking,
+    silently near-empty split/mix. Floats (even integral), out-of-range
+    ints, an empty mix map, and non-positive token budgets are all
+    refused loudly now."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "en", "good text here"), (2, "de", "mehr text hier")],
+            "doc_id long, lang string, text string",
+        )
+
+    def test_hash_split_refuses_fractions_and_out_of_range(self, spark):
+        import pytest
+
+        from data_transform_make_spark.plans.training_corpus import (
+            SPLIT_MOD,
+            hash_split,
+        )
+
+        with pytest.raises(ValueError, match="fraction"):
+            hash_split("doc_id", 0.8)
+        with pytest.raises(ValueError, match="fraction"):
+            hash_split("doc_id", 1.0)  # integral float is still a fraction
+        with pytest.raises(ValueError, match="exact integer"):
+            hash_split("doc_id", True)  # bool is not a threshold
+        with pytest.raises(ValueError, match=r"\[0, 2\^32\]"):
+            hash_split("doc_id", -1)
+        with pytest.raises(ValueError, match=r"\[0, 2\^32\]"):
+            hash_split("doc_id", SPLIT_MOD + 1)
+        # the documented exact form still works end-to-end
+        docs = self._docs(spark)
+        out = docs.select(hash_split("doc_id", SPLIT_MOD // 2).alias("s"))
+        assert set(r.s for r in out.collect()) <= {"train", "eval"}
+
+    def test_domain_mix_refuses_fractions_and_empty_map(self, spark):
+        import pytest
+
+        from data_transform_make_spark.plans.training_corpus import (
+            SPLIT_MOD,
+            domain_mix,
+        )
+
+        docs = self._docs(spark)
+        with pytest.raises(ValueError, match="fraction"):
+            domain_mix(docs, {"en": 0.5})
+        with pytest.raises(ValueError, match=r"fractions\['en'\]"):
+            domain_mix(docs, {"en": -1})
+        with pytest.raises(ValueError, match="empty"):
+            domain_mix(docs, {})
+        # valid exact thresholds unchanged: keep-all keeps the en row
+        kept = domain_mix(docs, {"en": SPLIT_MOD}).collect()
+        assert [r.doc_id for r in kept] == [1]
+
+    def test_pack_token_budget_refuses_non_positive(self, spark):
+        import pytest
+
+        from data_transform_make_spark.plans.training_corpus import (
+            pack_token_budget,
+        )
+
+        docs = self._docs(spark)
+        for bad in (0, -5):
+            with pytest.raises(ValueError, match="budget_tokens"):
+                pack_token_budget(docs, bad)

@@ -597,6 +597,42 @@ def test_topk_k_below_one_rejected(spark):
             call()
 
 
+def test_similarity_threshold_above_one_rejected(spark):
+    """Round-11 sweep: Jaccard lives in [0,1] and cosine in [-1,1], so a
+    threshold > 1 is PROVABLY empty — the unit mistake (threshold=95 for
+    '95%') silently reads as 'no near-dups found'. Refused across all
+    four threshold-taking near-dup operators; <= 1 (including the
+    accept-all negative end, a visible quadratic choice) stays allowed."""
+    import pytest
+
+    from data_transform_make_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "id long, vec array<double>"
+    )
+    for call in (
+        lambda: ngram_jaccard_pairs(docs, "doc_id", "text", threshold=95),
+        lambda: minhash_lsh_pairs(docs, "doc_id", "text", threshold=1.5),
+        lambda: embedding_near_dup_pairs(vecs, "id", "vec", threshold=95),
+        lambda: embedding_near_dup_pairs_lsh(
+            vecs, "id", "vec", threshold=1.01, dim=2
+        ),
+    ):
+        with pytest.raises(ValueError, match="threshold must be <= 1"):
+            call()
+    # the boundary itself is legal: exact-match-only dedup
+    assert (
+        ngram_jaccard_pairs(docs, "doc_id", "text", threshold=1.0).count()
+        == 0
+    )
+
+
 def test_checkpoint_dir_without_materialize_rejected(spark, tmp_path):
     """Round-11 advice close: checkpoint_dir is only consumed by the
     materialize/eager cut, so supplying it with materialize=False used
