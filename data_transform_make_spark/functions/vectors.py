@@ -54,13 +54,53 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
 
     NULL does none of the bad things: it sorts last under ``desc`` and
     fails every predicate. For finite inputs with a finite ratio the
-    result is bit-identical to the pre-guard fold (same accumulation
-    order; the guards only ever route to NULL, never rescale).
+    result is bit-identical to the separate-fold form (same per-component
+    accumulation order; the guards only ever route to NULL, never
+    rescale).
+
+    Shape (round 11): ONE ``zip_with`` + ``aggregate`` traversal
+    accumulates (dot, |a|², |b|²) in a struct, and the guards live in
+    the fold's ``finish`` lambda where the accumulator is a BOUND
+    variable. Spark HOFs are interpreted (CodegenFallback) with no
+    common-subexpression elimination across references, so the naive
+    ``when(isnan(sim) | denom == inf | ...)`` over free-standing
+    ``dot()``/``l2_norm()`` columns re-ran a full array fold per
+    reference — measured +45% on the brute-force top-k (same-session
+    interleaved A/B at sf0.1: separate folds + 5 references 0.348 s,
+    this form 0.243 s, the pre-guard two-reference form 0.240 s;
+    outputs bitwise identical across all three).
     """
-    inf = F.lit(float("inf"))
-    denom = l2_norm(a) * l2_norm(b)
-    sim = dot(a, b) / denom
-    non_finite = F.isnan(sim) | (denom == inf) | (sim == inf) | (sim == -inf)
-    return F.when(denom == 0, F.lit(None).cast("double")).otherwise(
-        F.when(non_finite, F.lit(None).cast("double")).otherwise(sim)
+    pairs = F.zip_with(
+        _c(a),
+        _c(b),
+        lambda x, y: F.struct(
+            x.cast("double").alias("x"), y.cast("double").alias("y")
+        ),
     )
+    init = F.struct(
+        F.lit(0.0).alias("d"), F.lit(0.0).alias("na"), F.lit(0.0).alias("nb")
+    )
+
+    def _merge(acc: Column, p: Column) -> Column:
+        # same left-to-right per-component accumulation order as the
+        # separate dot/l2_norm folds — results stay bit-identical; a
+        # length-mismatch pad is NULL, poisons every component, and
+        # surfaces as a NULL result exactly as before
+        return F.struct(
+            (acc["d"] + p["x"] * p["y"]).alias("d"),
+            (acc["na"] + p["x"] * p["x"]).alias("na"),
+            (acc["nb"] + p["y"] * p["y"]).alias("nb"),
+        )
+
+    def _finish(acc: Column) -> Column:
+        denom = F.sqrt(acc["na"]) * F.sqrt(acc["nb"])
+        sim = acc["d"] / denom
+        inf = F.lit(float("inf"))
+        non_finite = (
+            F.isnan(sim) | (denom == inf) | (sim == inf) | (sim == -inf)
+        )
+        return F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+            F.when(non_finite, F.lit(None).cast("double")).otherwise(sim)
+        )
+
+    return F.aggregate(pairs, init, _merge, _finish)
