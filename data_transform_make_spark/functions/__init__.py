@@ -1,3 +1,4 @@
+from .expr import let
 from .js_compat import default_if_falsy, js_parse_int, js_str_falsy, qty_falsy
 from .text import (
     clean_lines,
@@ -15,6 +16,7 @@ from .text import (
 from .vectors import cosine_similarity, dot, l2_norm
 
 __all__ = [
+    "let",
     "clean_lines",
     "compression_ratio",
     "default_if_falsy",

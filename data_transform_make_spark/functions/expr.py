@@ -1,0 +1,39 @@
+"""Expression-level let-binding (review, round 11).
+
+Spark evaluates higher-order functions interpreted (CodegenFallback) with
+NO common-subexpression elimination: an expression referenced k times in
+a tree is evaluated k times, and — much worse — a free expression
+captured inside a HOF lambda body is re-evaluated once PER ELEMENT the
+lambda runs over. ``shingles`` captured the tokenize subtree inside its
+per-window ``transform`` lambda: a 200-token document re-ran
+trim+lower+split ~200 times per row.
+
+HOF lambda parameters are the one true let-binding Spark expressions
+offer: the HOF evaluates its input ONCE and hands the lambda a bound
+value. :func:`let` packages that — wrap the expensive expression as a
+one-element array, apply the body via ``transform``, take element 0.
+
+Measured (same-session interleaved A/B at sf0.1, SCALE.md round 11):
+shingles 4.62 → 0.56 s (8.3×); the quality-gate pair
+(quality_score + lang_id) 2.22 → 0.99 s; outputs bitwise identical —
+the binding changes WHERE a value is computed, never what is computed.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def let(value: Column, body: Callable[[Column], Column]) -> Column:
+    """``let bound = value in body(bound)`` for Column expressions.
+
+    ``value`` is evaluated exactly once per row; ``body`` receives it as
+    a bound lambda variable it may reference any number of times (and
+    inside nested HOF lambdas) for free. NULL ``value`` reaches the body
+    as NULL — ``F.array(NULL)`` is a one-element array holding NULL — so
+    NULL semantics are identical to the unbound expression.
+    """
+    return F.transform(F.array(value), body)[0]

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.expr import let
 from ..functions.text import shingles, tokens
 from .checkpointing import eager_cut
 
@@ -867,16 +868,27 @@ def duplicated_span_report(
         raise ValueError(
             f"duplicated_span_report: window must be >= 1, got {window!r}"
         )
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    # sequence(a, b) DECREASES when a > b — guard short docs to an empty
-    # span list instead of a backwards sequence
-    starts = F.when(
-        n >= window, F.sequence(F.lit(1), n - window + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    spans = F.transform(
-        starts, lambda i: F.concat_ws(" ", F.slice(toks, i, window))
+    def _spans(toks: Column) -> Column:
+        # toks is let-bound (round 11, functions/expr.py): the free
+        # capture inside the per-span transform lambda used to re-run
+        # the tokenization once PER SPAN per row — the shingles disease
+        n_ = F.size(toks)
+        # sequence(a, b) DECREASES when a > b — guard short docs to an
+        # empty span list instead of a backwards sequence
+        starts = F.when(
+            n_ >= window, F.sequence(F.lit(1), n_ - window + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(toks, i, window))
+        )
+
+    # the totals leg's span count is arithmetic on the token count; the
+    # two references to n are let-bound to one tokenization as well
+    n = let(
+        F.size(tokens(F.col(text_col))),
+        lambda k: F.when(k >= window, k - window + 1).otherwise(F.lit(0)),
     )
+    spans = let(tokens(F.col(text_col)), _spans)
     spread = _spread(docs, id_col)
     occ = spread.select(
         F.col(id_col), F.posexplode(spans).alias("__pos", "__span")
@@ -895,10 +907,7 @@ def duplicated_span_report(
     # inserts its own (id, n)-rows-only exchange anyway (review).
     totals = docs.select(
         F.col(id_col),
-        F.when(n >= window, n - window + 1)
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("n_spans"),
+        n.cast("long").alias("n_spans"),
     ).filter(F.col("n_spans") > 0)
     return (
         totals.join(wins, id_col, "left")
