@@ -72,3 +72,41 @@ def test_ivf_topk_equals_brute_force_within_probed_clusters(spark, sf_dir):
         .collect()
     ]
     assert ivf_all == exact
+
+
+def test_ivf_vv_hoist_not_collapsed_back(spark):
+    """Round-11 plan pin (the eager_cut-branch-pin pattern): the hoisted
+    dot(v, v) column stays a SINGLE fold in the optimized plan. The hoist
+    relies on CollapseProject refusing to inline a non-cheap alias
+    referenced K times — if a Spark version bump relaxes that heuristic,
+    the K redundant per-centroid folds come back silently (perf, not
+    correctness). Expected shape: K+1 aggregate folds (1 vv + K dot(v,c));
+    the un-hoisted form measures 2K (vv inlined per centroid)."""
+    from data_transform_make_spark.functions.vectors import dot
+    from data_transform_make_spark.operators.similarity import (
+        assign_ivf_cluster,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id long, v array<double>"
+    )
+    cent = [[0.0, 1.0], [1.0, 0.0], [0.5, 0.5], [0.2, 0.8]]
+    k = len(cent)
+
+    hoisted = df.withColumn("__vv", dot(F.col("v"), F.col("v"))).withColumn(
+        "__c", assign_ivf_cluster(F.col("v"), cent, vv=F.col("__vv"))
+    )
+    plan = hoisted._jdf.queryExecution().optimizedPlan().toString()
+    n_folds = plan.count("aggregate(")
+    assert n_folds == k + 1, (
+        f"expected {k + 1} folds (1 hoisted vv + {k} per-centroid), got "
+        f"{n_folds} — CollapseProject inlined the vv alias; the hoist in "
+        "ivf_topk no longer saves the K redundant folds on this Spark "
+        "version (operators/similarity.py assign_ivf_cluster)"
+    )
+    # control: the self-contained form really does pay 2K folds
+    inlined = df.withColumn("__c", assign_ivf_cluster(F.col("v"), cent))
+    n_inlined = inlined._jdf.queryExecution().optimizedPlan().toString().count(
+        "aggregate("
+    )
+    assert n_inlined == 2 * k
