@@ -169,3 +169,31 @@ def test_bound_forms_identical_property(spark):
             assert r.q is not None  # quality is total over strings
 
     check()
+
+
+def test_let_binding_survives_the_optimizer(spark):
+    """Round-11 plan pin (the vv-hoist-pin pattern): the optimized plan
+    of a let-bound expression must evaluate the bound value ONCE. A
+    future Catalyst rewrite like transform(array(x), f)[0] -> f(x) would
+    inline x into every reference and silently undo the whole binding
+    (shingles back to one tokenization per emitted shingle). The bound
+    shingles plan must contain exactly one split(); the unbound control
+    shows three."""
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    plan = (
+        df.select(shingles("text").alias("s"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1, (
+        "the let binding was optimized away — shingles re-tokenizes per "
+        "reference again on this Spark version (functions/expr.py)"
+    )
+    control = (
+        df.select(_unbound_shingles(F.col("text")).alias("s"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert control.count("split(") > 1  # the disease the pin guards against
