@@ -749,3 +749,66 @@ def test_replay_guard_inert_without_checkpoint(spark, tmp_path):
     )
     r2 = {r.inventory_id: r for r in post2.collect()}
     assert (r2["I1"].general_stock_qty, r2["I1"].qty_office) == (3, 7)
+
+
+def test_replay_guard_migration_single_epoch_residual_documented(
+    spark, tmp_path
+):
+    """ADVICE r10, the DOCUMENTED residual of the retarget guard: with
+    only ONE committed epoch the epochs[:-1] coverage check is vacuously
+    true (the newest epoch is excluded because a same-lineage crash
+    legitimately leaves it commit-less), so a retargeted symlink still
+    rebinds. This is the accepted crash-window tradeoff — closing it
+    would refuse legitimate crash restarts (streaming/pipelines.py
+    migration shim). This test PINS the boundary: if the behavior ever
+    changes, the crash-restart semantics changed with it and both this
+    test and the >=2-epoch refusal test above must be revisited
+    together."""
+    import os
+
+    src1 = str(tmp_path / "w1")
+    state_dir = str(tmp_path / "state")
+    cp_a = str(tmp_path / "cp_a")
+    cp_b = str(tmp_path / "cp_b")
+    link = str(tmp_path / "cp_link")
+    os.makedirs(cp_a)
+    os.makedirs(cp_b)
+    os.symlink(cp_a, link)
+    inventory = spark.createDataFrame([("I1", "Tote", 10, 0)], INVENTORY)
+    spark.createDataFrame(
+        [(1, "Approved", [("I1", "Tote", "3")])], WEBHOOKS
+    ).coalesce(1).write.parquet(src1)
+
+    # ONE run via the link: exactly one committed epoch
+    streaming_order_pipeline(
+        spark,
+        spark.readStream.schema(WEBHOOKS).parquet(src1),
+        inventory,
+        state_dir=state_dir,
+        checkpoint_dir=link,
+    )
+    committed = [
+        d
+        for d in os.listdir(state_dir)
+        if d.startswith("epoch_")
+        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+    ]
+    assert len(committed) == 1, committed
+
+    marker = os.path.join(state_dir, "_lineage")
+    with open(marker, "w") as fh:
+        fh.write(os.path.abspath(link))
+    os.remove(link)
+    os.symlink(cp_b, link)
+
+    # the vacuous check rebinds: the run proceeds and the marker now
+    # points at the retargeted realpath — the documented single-epoch gap
+    streaming_order_pipeline(
+        spark,
+        spark.readStream.schema(WEBHOOKS).parquet(src1),
+        inventory,
+        state_dir=state_dir,
+        checkpoint_dir=link,
+    )
+    with open(marker) as fh:
+        assert fh.read().strip() == os.path.realpath(cp_b)
