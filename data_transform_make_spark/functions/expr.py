@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -35,5 +35,32 @@ def let(value: Column, body: Callable[[Column], Column]) -> Column:
     inside nested HOF lambdas) for free. NULL ``value`` reaches the body
     as NULL — ``F.array(NULL)`` is a one-element array holding NULL — so
     NULL semantics are identical to the unbound expression.
+
+    PLAN-PIN CONVENTION (round 12): the binding is only real while
+    Catalyst declines to rewrite ``transform(array(x), f)[0]`` into
+    ``f(x)`` — a future Spark version adding that (locally reasonable)
+    rewrite would re-inline the bound value into every reference and
+    silently undo the win at every call site at once. Every HOT-PATH
+    ``let`` call site must therefore ship with a plan-pin test: build a
+    minimal projection through the site and assert, via
+    :func:`optimized_plan`, that the bound value's signature expression
+    appears exactly the bound number of times (the
+    ``tests/test_expr_let.py::test_let_binding_survives_the_optimizer``
+    / ``tests/test_ivf_partition_pruning.py::
+    test_ivf_vv_hoist_not_collapsed_back`` pattern, with the unbound
+    form as a >1 control where cheap). A site without a pin re-opens
+    the hole for that site only — the generic transform-survival pin
+    here does not cover rewrites that fire on shapes a specific site
+    introduces.
     """
     return F.transform(F.array(value), body)[0]
+
+
+def optimized_plan(df: DataFrame) -> str:
+    """Stringified Catalyst-optimized logical plan — the one-line
+    primitive every let/hoist plan pin asserts against (see the
+    PLAN-PIN CONVENTION in :func:`let`). Private-API use is deliberate
+    and confined here: if a Spark upgrade moves ``queryExecution``,
+    every pin fails loudly in this single helper instead of five tests
+    re-deriving the incantation."""
+    return df._jdf.queryExecution().optimizedPlan().toString()

@@ -12,7 +12,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from data_transform_make_spark.functions.expr import let
+from data_transform_make_spark.functions.expr import let, optimized_plan
 from data_transform_make_spark.functions.text import (
     LANG_STOPWORDS,
     STOPWORDS,
@@ -180,20 +180,12 @@ def test_let_binding_survives_the_optimizer(spark):
     shingles plan must contain exactly one split(); the unbound control
     shows three."""
     df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
-    plan = (
-        df.select(shingles("text").alias("s"))
-        ._jdf.queryExecution()
-        .optimizedPlan()
-        .toString()
-    )
+    plan = optimized_plan(df.select(shingles("text").alias("s")))
     assert plan.count("split(") == 1, (
         "the let binding was optimized away — shingles re-tokenizes per "
         "reference again on this Spark version (functions/expr.py)"
     )
-    control = (
+    control = optimized_plan(
         df.select(_unbound_shingles(F.col("text")).alias("s"))
-        ._jdf.queryExecution()
-        .optimizedPlan()
-        .toString()
     )
     assert control.count("split(") > 1  # the disease the pin guards against

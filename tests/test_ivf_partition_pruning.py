@@ -8,6 +8,7 @@ import re
 
 from pyspark.sql import functions as F
 
+from data_transform_make_spark.functions.expr import optimized_plan
 from data_transform_make_spark.operators.similarity import (
     assign_ivf_cluster,
     ivf_topk,
@@ -96,7 +97,7 @@ def test_ivf_vv_hoist_not_collapsed_back(spark):
     hoisted = df.withColumn("__vv", dot(F.col("v"), F.col("v"))).withColumn(
         "__c", assign_ivf_cluster(F.col("v"), cent, vv=F.col("__vv"))
     )
-    plan = hoisted._jdf.queryExecution().optimizedPlan().toString()
+    plan = optimized_plan(hoisted)
     n_folds = plan.count("aggregate(")
     assert n_folds == k + 1, (
         f"expected {k + 1} folds (1 hoisted vv + {k} per-centroid), got "
@@ -106,7 +107,5 @@ def test_ivf_vv_hoist_not_collapsed_back(spark):
     )
     # control: the self-contained form really does pay 2K folds
     inlined = df.withColumn("__c", assign_ivf_cluster(F.col("v"), cent))
-    n_inlined = inlined._jdf.queryExecution().optimizedPlan().toString().count(
-        "aggregate("
-    )
+    n_inlined = optimized_plan(inlined).count("aggregate(")
     assert n_inlined == 2 * k
