@@ -1214,9 +1214,11 @@ def par1_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 4th doc appends one shared boilerplate paragraph — the
     i1/tc1/sd1 synthesis pattern, so the driver row shows the cross-doc
     removal actually firing: the boilerplate survives only in doc 0).
-    Two map-side-combining shuffles, join-free; the md5 of the
-    reassembled text puts paragraph content AND reading order under the
-    hash gate."""
+    Round-12 execution shape: paragraph-granularity exchanges carry
+    (md5, id, pos) fingerprints only, document text shuffles exactly
+    once via the doc-id reassembly join; the md5 of the reassembled
+    text puts paragraph content AND reading order under the hash
+    gate."""
     from .operators.dedup import paragraph_dedup
 
     docs = load_table(spark, sf_dir, "documents")

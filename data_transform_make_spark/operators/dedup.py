@@ -110,25 +110,45 @@ def paragraph_dedup(
     navigation block or license footer pasted into millions of pages
     survives exactly once, corpus-wide.
 
-    Execution shape — two map-side-combining shuffles, join-free:
+    Execution shape (round 12 — the d2 fingerprint treatment; the
+    pre-r12 form carried paragraph TEXT through both of its shuffles and
+    was the family's steepest sf0.1→sf1.0 scaler at 4.8× for 10× data):
 
-      1. ``split`` + ``posexplode`` → ``(id, pos, para)``, blank
-         paragraphs dropped (map-only);
-      2. :func:`keep_min_by` keyed on ``md5(para)`` — winner is the
+      1. ``split`` + ``posexplode`` → hash each non-blank paragraph to a
+         128-bit ``md5`` fingerprint and DROP the text (map-only) — no
+         paragraph-granularity exchange ever carries anything wider than
+         ``(16 B hash, id, pos)``;
+      2. :func:`keep_min_by` keyed on the fingerprint — winner is the
          ``(id, pos)``-minimal occurrence. The aggregate partially
          combines before the exchange, so a boilerplate paragraph
          repeated across millions of documents collapses to ~one
-         candidate row PER MAP PARTITION pre-shuffle: hot-paragraph skew
-         (the norm in web data — empty footers, cookie banners) never
-         concentrates on a reducer. The 128-bit key also bounds shuffle
-         width: paragraph text itself never shuffles twice.
-      3. ``groupBy(id)`` + ``array_sort(collect_list(struct(pos, para)))``
-         → ``concat_ws`` reassembly (second shuffle, keyed on the doc id).
+         fixed-width candidate row PER MAP PARTITION pre-shuffle:
+         hot-paragraph skew (the norm in web data — empty footers,
+         cookie banners) never concentrates bytes OR rows on a reducer;
+      3. ``groupBy(id)`` → sorted array of surviving positions per doc
+         (ascending = original reading order; a tiny ``(id, pos-list)``
+         frame);
+      4. ONE inner join back to the source keyed on the doc id, then
+         map-side reassembly: re-split the original text and index it by
+         the surviving positions. Document text thus shuffles exactly
+         once, keyed by the UNIQUE doc id (perfectly spread — a hot
+         paragraph cannot skew it), where the pre-r12 shape shuffled
+         paragraph text twice (inside the min_by struct and again for
+         reassembly). The re-split is :func:`..functions.expr.let`-bound
+         so it runs once per row, not once per surviving paragraph
+         (plan-pinned: ``tests/test_text_ops.py``
+         ``test_paragraph_dedup_reassembly_split_stays_let_bound``). The
+         second source scan it implies is map-only and columnar-pruned —
+         the standard scan-vs-shuffle trade (d2 makes the same one).
 
     Deterministic under any partitioning: the winner is a global min over
-    the ``(id, pos)`` total order. Output: ``(id, text, n_paras)`` — one
-    row per document that retains at least one paragraph; ``n_paras`` is
-    the surviving-paragraph count (LONG). ``sep`` is a LITERAL string on
+    the ``(id, pos)`` total order. ``id_col`` must uniquely identify rows
+    (same contract the doc-id join implies everywhere else in the
+    engine), and rows with a NULL id are dropped — a NULL id identifies
+    nothing, the id-keyed join cannot carry it, and the pre-r12 shape's
+    behavior for it (NULL-keyed min_by ordering) was never defined. Output: ``(id, text, n_paras)`` — one row per document that
+    retains at least one paragraph; ``n_paras`` is the
+    surviving-paragraph count (LONG). ``sep`` is a LITERAL string on
     both sides — quoted with ``\\Q…\\E`` for the regex-based split and
     reused verbatim in the reassembly join, so a separator containing
     regex metacharacters (``|``, ``.``) splits and rejoins consistently.
@@ -137,27 +157,30 @@ def paragraph_dedup(
     """
     if "\\E" in sep:
         raise ValueError(r"paragraph_dedup: sep must not contain \E")
-    paras = df.select(
-        id_col,
-        F.posexplode(
-            F.split(F.col(text_col), "\\Q" + sep + "\\E")
-        ).alias("pos", "para"),
-    ).filter(F.length(F.trim(F.col("para"))) > 0)
-    winners = keep_min_by(
-        paras, [F.md5(F.col("para")).alias("__ph")], [id_col, "pos"]
+    # NULL ids drop HERE, before fingerprinting — left to the join's
+    # implicit isnotnull they would still WIN first-occurrence claims
+    # (NULLs sort first in the min_by struct order) and then vanish,
+    # silently deleting their paragraphs from every later document.
+    src = df.select(id_col, text_col).filter(F.col(id_col).isNotNull())
+    split_expr = F.split(F.col(text_col), "\\Q" + sep + "\\E")
+    keys = (
+        src.select(id_col, F.posexplode(split_expr).alias("pos", "para"))
+        .filter(F.length(F.trim(F.col("para"))) > 0)
+        .select(id_col, "pos", F.md5(F.col("para")).alias("__ph"))
     )
-    return (
-        winners.groupBy(id_col)
-        .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "para"))).alias("__ps")
-        )
-        .select(
-            id_col,
-            F.concat_ws(
-                sep, F.expr("transform(__ps, x -> x.para)")
-            ).alias(text_col),
-            F.size("__ps").cast("long").alias("n_paras"),
-        )
+    winners = keep_min_by(keys, ["__ph"], [id_col, "pos"])
+    keep = winners.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("__keep")
+    )
+    return src.join(keep, id_col, "inner").select(
+        id_col,
+        let(
+            split_expr,
+            lambda arr: F.concat_ws(
+                sep, F.transform(F.col("__keep"), lambda p: F.get(arr, p))
+            ),
+        ).alias(text_col),
+        F.size("__keep").cast("long").alias("n_paras"),
     )
 
 

@@ -341,6 +341,49 @@ def test_paragraph_dedup_matches_python_reference_property(spark):
     check()
 
 
+def test_paragraph_dedup_null_id_rows_are_dropped(spark):
+    """NULL ids identify nothing: the row is dropped (round-12 contract —
+    the id-keyed reassembly join cannot carry it), and its paragraphs do
+    NOT claim first-occurrence for later documents."""
+    from data_transform_make_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(None, "aa\n\nbb"), (7, "aa\n\ncc")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.text, r.n_paras)
+        for r in paragraph_dedup(docs, "doc_id", "text").collect()
+    }
+    assert out == {7: ("aa\n\ncc", 2)}
+
+
+def test_paragraph_dedup_reassembly_split_stays_let_bound(spark):
+    """Round-12 plan pin (the let convention, functions/expr.py): the
+    reassembly re-split must stay bound — transform(array(split(…)))[0]
+    in the optimized plan. If a future Catalyst rewrite inlines it, the
+    split re-runs once per SURVIVING PARAGRAPH instead of once per
+    document. Also pins the round's shuffle-payload contract: the min_by
+    winner struct carries (id, pos, fingerprint) only — no paragraph
+    text field — so no paragraph-granularity exchange moves text."""
+    from data_transform_make_spark.functions.expr import optimized_plan
+    from data_transform_make_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "aa\n\nbb"), (2, "aa\n\ncc")], "doc_id long, text string"
+    )
+    plan = optimized_plan(paragraph_dedup(df, "doc_id", "text"))
+    assert plan.count("array(split(") == 1, (
+        "the reassembly let binding was optimized away — paragraph_dedup "
+        "re-splits per surviving paragraph on this Spark version"
+    )
+    # exactly two splits total: the fingerprint branch + the bound re-split
+    assert plan.count("split(") == 2
+    # the min_by struct is fingerprint-only — paragraph text must not
+    # appear among the aggregated fields
+    (minby_line,) = [l for l in plan.splitlines() if "min_by" in l]
+    assert "para" not in minby_line, minby_line
+
+
 def test_paragraph_dedup_regex_metacharacter_separator(spark):
     """sep is a literal on both the split and the join side."""
     from data_transform_make_spark.operators.dedup import paragraph_dedup
