@@ -4051,14 +4051,22 @@ def ll3_training_corpus_capped(spark: SparkSession, sf_dir: str, eager: bool = T
 # their plans changed in the r9 d2 fold) + the alphabetical head of
 # the 43 r8 keys. After r10 no row is older than r8.
 #
-# ROUND 11 (registry still FROZEN at 109 — steady rotation, per the
-# r10 verdict item 1): the 16 keys whose newest row is r8 (sql1,
-# st2–st5, st7, t5, t7, ta1, ta2, up1, w3, w6, w7, x1, x2 — exactly
-# the set the r10 comment named) fronted, then the alphabetically-
-# first 27 of the 43 keys whose newest row is r9. The remaining 16
-# r9 keys (n3, q3, q5, rc1, s1, sd1, st8, ta3, ta4, ta5, tc1, u1,
-# unp1, w1, w4, w5) plus the oldest r10 block lead the r12 rotation.
+# ROUND 11 (registry FROZEN at 109 — steady rotation, per the r10
+# verdict item 1): the 16 r8-stale keys fronted, then the
+# alphabetically-first 27 of the 43 keys whose newest row was r9.
 # After r11 no key of any kind has a row older than r9.
+#
+# ROUND 12 (registry still FROZEN at 109 — steady rotation, per the
+# r11 verdict item 1): the 16 keys whose newest row is r9 (n3, q3,
+# q5, rc1, s1, sd1, st8, ta3, ta4, ta5, tc1, u1, unp1, w1, w4, w5 —
+# exactly the set the r11 comment named) fronted, then 27 of the 43
+# keys whose newest row is r10: the alphabetically-first 26, plus
+# par1 swapped in for the alphabetically-27th (n2) because par1's
+# execution shape changed THIS round (the fingerprint reshuffle —
+# fresh external rows land the same round as the change, the
+# d5/d5d/n1 precedent from r11). n2 and the rest of the r10 block
+# lead the r13 rotation. After r12 no key of any kind has a row
+# older than r10.
 _DRIVER_WINDOW = [
     # core anchors (certified every round)
     "p1_status_gate",
@@ -4068,57 +4076,54 @@ _DRIVER_WINDOW = [
     "a1_a2_order_counter_deltas",
     "q1_pricing_summary",
     "st1_stream_window_agg",
-    # (a) the 16 r8-stale keys — the only rows older than r9 after the
-    # r10 rotation.
-    "sql1_raw_sql",
-    "st2_stream_dedup",
-    "st3_stream_stateful_counters",
-    "st4_stream_stream_join",
-    "st5_stream_session_window",
-    "st7_stream_static_join",
-    "t5_falsy_defaults",
-    "t7_js_parse_int",
-    "ta1_text_stats",
-    "ta2_lang_id",
-    "up1_unpivot",
-    "w3_sessionize",
-    "w6_lag_lead",
-    "w7_ntile",
-    "x1_json_extract",
-    "x2_explode_sequence",
-    # (b) the alphabetically-first 27 of the 43 keys whose newest row
-    # is r9. Includes d5/d5d/n1 (the r10 cosine NaN-NULL fix touched
-    # their expressions; the r11 Inf-denom totalization touches them
-    # again — fresh external rows land the same round as the change)
-    # and d2b/d3b (the r11 lazy-twin audit threading — plan-neutral by
-    # construction, externally re-certified here anyway).
-    "apx1_sketch_aggs",
-    "ch1_doc_chunks",
-    "cs1_correlated_subquery",
-    "d2b_ngram_jaccard_capped",
-    "d3_minhash_lsh",
-    "d3b_minhash_lsh_md5",
-    "d4_simhash",
-    "d4b_simhash_md5",
-    "d5_embedding_near_dup",
-    "d5b_embedding_near_dup_lsh",
-    "d5c_embedding_near_dup_lsh_planted",
-    "d5d_embedding_lsh_oracle",
-    "d6_editdist_recheck",
-    "diff1_snapshot_diff",
-    "g1_rollup",
-    "g2_cube",
-    "ga1_pandas_grouped_agg",
-    "gf1_calendar_gap_fill",
-    "hop1_hopping_window_agg",
-    "j4_semi_anti_join",
-    "mm1_media_metadata",
-    "mm2_media_decode",
-    "mm2b_media_decode_oracle",
-    "mm3_frame_sample",
-    "mm4_resize",
-    "mm4b_resize_oracle",
-    "n1_topk_cosine",
+    # (a) the 16 r9-stale keys — the only rows older than r10 after
+    # the r11 rotation.
+    "n3_ivf_topk",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "rc1_recursive_hierarchy",
+    "s1_set_ops",
+    "sd1_substring_dup_report",
+    "st8_stream_hopping_window",
+    "ta3_quality_score",
+    "ta4_doc_fingerprint",
+    "ta5_repetition",
+    "tc1_line_cleaning",
+    "u1_string_funcs",
+    "unp1_unpivot_measures",
+    "w1_running_total",
+    "w4_tumbling_window",
+    "w5_global_topk",
+    # (b) 27 of the 43 keys whose newest row is r10: alphabetically
+    # first 26 + par1 (its plan changed this round — the fingerprint
+    # reshuffle; external re-certification lands with the change).
+    "a3_insufficient_stock",
+    "a4_a6_status_transitions",
+    "a5_counter_pivot",
+    "agg1_ordered_collect",
+    "arr1_array_hofs",
+    "bm25_1_query_ranking",
+    "cd1_distinct_agg",
+    "cr1_compression_ratio",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard",
+    "dc1_dedup_clusters",
+    "dc2_dedup_clusters_capped",
+    "dec1_decontamination",
+    "dq1_column_profile",
+    "dt1_date_buckets",
+    "g3_grouping_sets",
+    "h1_having",
+    "j2_as_of_join",
+    "j3_range_join",
+    "ll1_training_corpus",
+    "ll2_training_corpus_clustered",
+    "ll3_training_corpus_capped",
+    "lm1_unigram_freq_score",
+    "mf1_map_explode",
+    "mix1_domain_mixing",
+    "mo1_moment_aggs",
+    "par1_paragraph_dedup",
 ]
 
 
