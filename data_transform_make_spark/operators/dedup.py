@@ -157,6 +157,14 @@ def paragraph_dedup(
     """
     if "\\E" in sep:
         raise ValueError(r"paragraph_dedup: sep must not contain \E")
+    if not sep:
+        # an empty separator makes split() explode every CHARACTER: the
+        # op silently becomes corpus-global character dedup (any doc
+        # whose alphabet was seen before vanishes). Refuse loudly —
+        # r12 boundary review, the silently-wrong-empty class.
+        raise ValueError("paragraph_dedup: sep must be non-empty")
+    if id_col == text_col:
+        raise ValueError("paragraph_dedup: id_col and text_col must differ")
     # NULL ids drop HERE, before fingerprinting — left to the join's
     # implicit isnotnull they would still WIN first-occurrence claims
     # (NULLs sort first in the min_by struct order) and then vanish,

@@ -401,6 +401,13 @@ def test_paragraph_dedup_regex_metacharacter_separator(spark):
 
     with _pytest.raises(ValueError):
         paragraph_dedup(docs, "doc_id", "text", sep="a\\Eb")
+    # r12 boundary review: empty sep would silently become corpus-global
+    # CHARACTER dedup (split("") explodes every char); same-name id/text
+    # columns would build a duplicate-column projection
+    with _pytest.raises(ValueError):
+        paragraph_dedup(docs, "doc_id", "text", sep="")
+    with _pytest.raises(ValueError):
+        paragraph_dedup(docs, "text", "text")
 
 
 class TestCompressionRatio:
