@@ -1360,10 +1360,12 @@ def bm25_1_query_ranking(
     transcendentals are last-ulp engine-dependent; +,*,/ on doubles are
     IEEE-exact), so the DOUBLE score value-hash-matches the SQL twin
     bit-for-bit — the twin restates the exact expression tree, same
-    parenthesization, same literals. Plan shape: MAP-ONLY tf/dl (query
-    terms are literals — size(filter(tokens, =t)) column exprs, no
-    explode, no (doc, term) shuffle), ONE single-row stats aggregate
-    broadcast back, fixed-fold score expression, top-k via
+    parenthesization, same literals. Plan shape: _spread (r12 — the
+    doc-id repartition every expensive per-doc map takes, so the tf
+    stage parallelizes off a single-row-group file), then MAP-ONLY
+    tf/dl (query terms are literals — size(filter(tokens, =t)) column
+    exprs, no explode, no (doc, term) shuffle), ONE single-row stats
+    aggregate broadcast back, fixed-fold score expression, top-k via
     TakeOrderedAndProject. Blank docs filtered on both sides (the ta5
     oracle-guard lesson)."""
     from .operators.ranking import bm25_topk

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 from .checkpointing import eager_cut
+from .dedup import _spread
 
 
 def bm25_topk(
@@ -112,24 +113,62 @@ def bm25_topk(
         tokens(F.col(text_col)), F.array().cast("array<string>")
     )
 
-    # NB: the closure must be built by a helper, not `lambda x, t=t: ...` —
-    # F.filter dispatches on the lambda's ARITY, and a defaulted second
-    # parameter selects the (element, index) form, binding the index over
-    # the term
-    def _eq(term: str):
-        lit = F.lit(term)
-        return lambda x: x == lit
-
-    # internal columns are keyed by term INDEX, never by the term text:
+    # ONE fused interpreted traversal counts every term (round 12): the
+    # pre-r12 shape ran size(filter(tk, =t)) once PER TERM — T array
+    # walks plus T filtered-array allocations per document. A single
+    # aggregate fold with a T-counter struct accumulator reads the
+    # token array once; same-session interleaved A/B with a hash-sum
+    # over every output column (count() prunes projections — never time
+    # one with count(); caught in-round) read -20%/-24% at sf0.1/sf1.0
+    # with the allocation-free per-term fold flat vs shipped, so the
+    # win is the single traversal (tools/r12_evidence.py experiment 2).
+    # It grows with term count: T traversals collapse to 1.
+    # Internal columns are keyed by term INDEX, never by the term text:
     # F.col(f"tf_{term}") would parse a dotted term ('node.js') as a
     # nested-field access and blow up at analysis; the caller-facing
-    # tf_<term> names appear only as output aliases, which are literal
-    tf_cols = [
-        F.size(F.filter(tk, _eq(t))).cast("long").alias(f"__tf_{i}")
-        for i, t in enumerate(query_terms)
-    ]
-    base = df.select(
-        F.col(id_col), F.size(tk).cast("long").alias("dl"), *tf_cols
+    # tf_<term> names appear only as output aliases, which are literal.
+    tf_init = F.struct(
+        *[F.lit(0).cast("long").alias(f"t{i}") for i in range(len(query_terms))]
+    )
+
+    def _tf_merge(acc, x):
+        return F.struct(
+            *[
+                (
+                    acc[f"t{i}"]
+                    + F.when(x == F.lit(t), F.lit(1))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                ).alias(f"t{i}")
+                for i, t in enumerate(query_terms)
+            ]
+        )
+
+    # _spread first (round 12): the tf traversal is the expensive
+    # per-doc map, and bm25 predated the engine-wide convention
+    # (operators/dedup.py:20) of hash-repartitioning before such maps —
+    # a single-row-group corpus file otherwise pins the whole tf stage
+    # to ONE task (measured end-to-end at sf1.0, rows asserted
+    # identical: 3.44 -> 0.97 s; 10x-data growth ratio 5.2 -> 1.6 —
+    # tools/r12_evidence.py experiment 3). On a cluster the same spread
+    # balances text-length skew across executors; the price is one
+    # id-keyed text exchange before the text is dropped to the narrow
+    # (id, dl, tf...) projection. The fused fold is HOISTED into its
+    # own column so it runs once, not once per extracted counter — the
+    # IVF vv pattern; CollapseProject declines to inline a non-cheap
+    # alias referenced T times, pinned by
+    # tests/test_ranking.py::test_bm25_fused_tf_fold_stays_hoisted.
+    base = (
+        _spread(df, id_col)
+        .withColumn("__tfs", F.aggregate(tk, tf_init, _tf_merge))
+        .select(
+            F.col(id_col),
+            F.size(tk).cast("long").alias("dl"),
+            *[
+                F.col("__tfs")[f"t{i}"].alias(f"__tf_{i}")
+                for i in range(len(query_terms))
+            ],
+        )
     )
     if materialize:
         # one tokenize+tf pass total, not one per consumer (profiled:

@@ -293,3 +293,30 @@ def test_bm25_materialize_modes_agree(spark):
     a = [tuple(r) for r in bm25_topk(*args, materialize=True).collect()]
     b = [tuple(r) for r in bm25_topk(*args, materialize=False).collect()]
     assert a == b and len(a) == 5
+
+
+def test_bm25_fused_tf_fold_stays_hoisted(spark):
+    """Round-12 plan pin (the IVF vv pattern, functions/expr.py
+    convention): the fused T-counter tf fold is hoisted into one column
+    and extracted T times — CollapseProject must NOT inline the alias,
+    or the single traversal silently becomes T traversals again. In the
+    fully-lazy plan the base projection appears once per consumer
+    (stats branch + score branch — the documented materialize=False
+    recompute), so the pin is exactly ONE fold per consumer: 2 total
+    for T=3 terms; an inlined alias would read 2*T = 6."""
+    from data_transform_make_spark.functions.expr import optimized_plan
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog dog")], "doc_id long, text string"
+    )
+    plan = optimized_plan(
+        bm25_topk(docs, "doc_id", "text", ["cat", "dog", "fox"], k=5,
+                  materialize=False)
+    )
+    n_folds = plan.count("aggregate(")
+    assert n_folds == 2, (
+        f"expected 2 hoisted tf folds (one per base consumer), got "
+        f"{n_folds} — CollapseProject inlined the __tfs alias; bm25 "
+        "re-walks the token array per term again on this Spark version "
+        "(operators/ranking.py)"
+    )

@@ -139,5 +139,171 @@ def main() -> None:
     spark.stop()
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and len(sys.argv) == 1:
     main()
+
+
+# ---------------------------------------------------------------------------
+# Experiment 2 (run with: python tools/r12_evidence.py bm25): the tf stage.
+# The whole-engine 10x table put bm25_1 at x5.2 — the most expensive
+# Column-expression map after the let pass. Its tf stage runs one
+# interpreted size(filter(tk, =term)) traversal PER TERM, each building
+# a filtered array only to take its length. Candidates, outputs asserted
+# identical before timing:
+#   A (shipped)  size(filter(tk, eq(t)))           T traversals + T array allocs
+#   B            per-term count fold               T traversals, no array allocs
+#   C            ONE fused fold, T-counter struct  1 traversal, n struct allocs
+# ---------------------------------------------------------------------------
+
+TERMS = ["table", "scan", "merge"]
+
+
+def _tf_a(tk):
+    def _eq(term):
+        lit = F.lit(term)
+        return lambda x: x == lit
+
+    return [
+        F.size(F.filter(tk, _eq(t))).cast("long").alias(f"tf{i}")
+        for i, t in enumerate(TERMS)
+    ]
+
+
+def _tf_b(tk):
+    def _count(term):
+        lit = F.lit(term)
+        return F.aggregate(
+            tk,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.when(x == lit, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        )
+
+    return [_count(t).alias(f"tf{i}") for i, t in enumerate(TERMS)]
+
+
+def _fused_fold(tk):
+    init = F.struct(
+        *[F.lit(0).cast("long").alias(f"t{i}") for i in range(len(TERMS))]
+    )
+
+    def _merge(acc, x):
+        return F.struct(
+            *[
+                (
+                    acc[f"t{i}"]
+                    + F.when(x == F.lit(t), F.lit(1)).otherwise(F.lit(0)).cast("long")
+                ).alias(f"t{i}")
+                for i, t in enumerate(TERMS)
+            ]
+        )
+
+    return F.aggregate(tk, init, _merge)
+
+
+def _bm25_base(docs, variant):
+    from data_transform_make_spark.functions.text import tokens
+
+    tk = F.coalesce(tokens(F.col("text")), F.array().cast("array<string>"))
+    if variant == "c":
+        # hoisted like the IVF vv column so the fold runs once, not
+        # once per extracted counter
+        return docs.withColumn("__f", _fused_fold(tk)).select(
+            "doc_id",
+            F.size(tk).cast("long").alias("dl"),
+            *[F.col("__f")[f"t{i}"].alias(f"tf{i}") for i in range(len(TERMS))],
+        )
+    tfs = _tf_a(tk) if variant == "a" else _tf_b(tk)
+    return docs.select("doc_id", F.size(tk).cast("long").alias("dl"), *tfs)
+
+
+def _bm25_checksum(df):
+    (row,) = df.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.xxhash64("doc_id", "dl", "tf0", "tf1", "tf2").cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()
+    return (row["n"], str(row["h"]))
+
+
+def bm25_main() -> None:
+    spark = get_spark("r12-evidence-bm25")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for tag, sf_dir in [("sf0.1", SF01), ("sf1.0", SF1)]:
+        if not os.path.isdir(sf_dir):
+            out[tag] = "absent"
+            continue
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.length(F.trim(F.col("text"))) > 0
+        )
+        dfs = {v: _bm25_base(docs, v) for v in ("a", "b", "c")}
+        cks = {v: _bm25_checksum(d) for v, d in dfs.items()}
+        assert cks["a"] == cks["b"] == cks["c"], (tag, cks)
+        cell = {"rows": cks["a"][0]}
+        # interleaved: a b c a b c -> per-variant min of both blocks.
+        # NB: time through a hash-sum over EVERY output column, never
+        # count() — count() prunes the projection, so a count()-timed
+        # run of this experiment measures the scan and nothing else
+        # (caught in-round: the first attempt read a=b=c at scan cost).
+        for rnd in range(2):
+            for v in ("a", "b", "c"):
+                t = _min3(lambda d=dfs[v]: _bm25_checksum(d))
+                cell[v] = min(cell.get(v, 99.0), t)
+        out[tag] = cell
+    print("R12_BM25_RESULT:" + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "bm25":
+    bm25_main()
+
+
+# ---------------------------------------------------------------------------
+# Experiment 3 (run with: python tools/r12_evidence.py spread): bm25_topk
+# without vs with _spread on the input. The whole-engine 10x table read
+# bm25_1 at x5.2; the layout probe explains it — documents.parquet is a
+# single row group at BOTH SFs, so the per-term interpreted tf traversals
+# run in ONE task while 31 cores idle. Every other expensive per-doc map
+# in the engine (_shingles/simhash/keywords/chunking/quality gate) goes
+# through _spread (operators/dedup.py:36) for exactly this reason; bm25
+# predates the convention. Outputs are the exact top-20 rows (total
+# (score DESC, id) order) — asserted equal before timing.
+# ---------------------------------------------------------------------------
+
+
+def spread_main() -> None:
+    from data_transform_make_spark.operators.dedup import _spread
+    from data_transform_make_spark.operators.ranking import bm25_topk
+
+    spark = get_spark("r12-evidence-spread")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for tag, sf_dir in [("sf0.1", SF01), ("sf1.0", SF1)]:
+        if not os.path.isdir(sf_dir):
+            out[tag] = "absent"
+            continue
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.length(F.trim(F.col("text"))) > 0
+        )
+        terms = ["table", "scan", "merge"]
+        cur = lambda: bm25_topk(docs, "doc_id", "text", terms, k=20)  # noqa: E731
+        spr = lambda: bm25_topk(  # noqa: E731
+            _spread(docs, "doc_id"), "doc_id", "text", terms, k=20
+        )
+        rows_cur = [tuple(r) for r in cur().collect()]
+        rows_spr = [tuple(r) for r in spr().collect()]
+        assert rows_cur == rows_spr, (tag, rows_cur[:2], rows_spr[:2])
+        cell = {}
+        for rnd in range(2):
+            for name, f in (("current", cur), ("spread", spr)):
+                t = _min3(lambda f=f: f().count())
+                cell[name] = min(cell.get(name, 99.0), t)
+        cell["speedup"] = round(cell["current"] / cell["spread"], 2)
+        out[tag] = cell
+    print("R12_SPREAD_RESULT:" + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "spread":
+    spread_main()
