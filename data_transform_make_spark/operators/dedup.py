@@ -114,32 +114,38 @@ def paragraph_dedup(
     pre-r12 form carried paragraph TEXT through both of its shuffles and
     was the family's steepest sf0.1→sf1.0 scaler at 4.8× for 10× data):
 
-      1. ``split`` + ``posexplode`` → hash each non-blank paragraph to a
-         128-bit ``md5`` fingerprint and DROP the text (map-only) — no
-         paragraph-granularity exchange ever carries anything wider than
-         ``(16 B hash, id, pos)``;
-      2. :func:`keep_min_by` keyed on the fingerprint — winner is the
-         ``(id, pos)``-minimal occurrence. The aggregate partially
-         combines before the exchange, so a boilerplate paragraph
-         repeated across millions of documents collapses to ~one
-         fixed-width candidate row PER MAP PARTITION pre-shuffle:
-         hot-paragraph skew (the norm in web data — empty footers,
-         cookie banners) never concentrates bytes OR rows on a reducer;
+      1. ONE id-keyed ``_spread`` exchange of ``(id, text)``, read by
+         BOTH downstream branches — Spark's exchange reuse materializes
+         it once, so the source scans once and document text crosses
+         the wire exactly once, keyed by the UNIQUE doc id (perfectly
+         spread — a hot paragraph cannot skew it). This exchange is
+         also what keeps the reassembly map parallel: without it, AQE
+         broadcasts the tiny position-list side of step 4's join and
+         the reassembly inherits the raw scan layout — ONE task on a
+         single-row-group corpus file (measured, SCALE.md round 12);
+      2. ``split`` + ``posexplode`` → hash each non-blank paragraph to a
+         128-bit ``md5`` fingerprint and DROP the text (map-only), then
+         :func:`keep_min_by` keyed on the fingerprint — winner is the
+         ``(id, pos)``-minimal occurrence. No paragraph-granularity
+         exchange ever carries anything wider than ``(16 B hash, id,
+         pos)``, and the aggregate partially combines before the
+         exchange, so a boilerplate paragraph repeated across millions
+         of documents collapses to ~one fixed-width candidate row PER
+         MAP PARTITION pre-shuffle: hot-paragraph skew (the norm in web
+         data — empty footers, cookie banners) never concentrates bytes
+         OR rows on a reducer (the pre-r12 shape shuffled paragraph
+         text twice — inside the min_by struct and again for
+         reassembly);
       3. ``groupBy(id)`` → sorted array of surviving positions per doc
          (ascending = original reading order; a tiny ``(id, pos-list)``
-         frame);
-      4. ONE inner join back to the source keyed on the doc id, then
-         map-side reassembly: re-split the original text and index it by
-         the surviving positions. Document text thus shuffles exactly
-         once, keyed by the UNIQUE doc id (perfectly spread — a hot
-         paragraph cannot skew it), where the pre-r12 shape shuffled
-         paragraph text twice (inside the min_by struct and again for
-         reassembly). The re-split is :func:`..functions.expr.let`-bound
-         so it runs once per row, not once per surviving paragraph
-         (plan-pinned: ``tests/test_text_ops.py``
-         ``test_paragraph_dedup_reassembly_split_stays_let_bound``). The
-         second source scan it implies is map-only and columnar-pruned —
-         the standard scan-vs-shuffle trade (d2 makes the same one).
+         frame, emitted already partitioned on the id);
+      4. inner join of the spread source with the position lists
+         (id-aligned on both sides), then map-side reassembly: re-split
+         the original text and index it by the surviving positions. The
+         re-split is :func:`..functions.expr.let`-bound so it runs once
+         per row, not once per surviving paragraph (plan-pinned:
+         ``tests/test_text_ops.py``
+         ``test_paragraph_dedup_reassembly_split_stays_let_bound``).
 
     Deterministic under any partitioning: the winner is a global min over
     the ``(id, pos)`` total order. ``id_col`` must uniquely identify rows
@@ -169,7 +175,21 @@ def paragraph_dedup(
     # implicit isnotnull they would still WIN first-occurrence claims
     # (NULLs sort first in the min_by struct order) and then vanish,
     # silently deleting their paragraphs from every later document.
-    src = df.select(id_col, text_col).filter(F.col(id_col).isNotNull())
+    #
+    # _spread BEFORE both branches (r12 full-eval A/B): the fingerprint
+    # branch and the reassembly branch read the SAME id-keyed exchange,
+    # and Spark's exchange reuse materializes it once — one source
+    # scan, document text over the wire exactly once, and BOTH
+    # expensive maps (posexplode+md5, re-split+concat reassembly)
+    # parallel. Without it, AQE broadcasts the tiny keep side and the
+    # reassembly silently inherits the scan layout — ONE task on a
+    # single-row-group corpus file (measured: 3.09 vs old 1.88 s
+    # full-eval at sf1.0; the shared-spread shape reads 1.89 vs old
+    # 2.39 interleaved). Fixture-scale cost: ~+0.3 s of exchange
+    # overhead at sf0.1, documented in SCALE.md.
+    src = _spread(
+        df.select(id_col, text_col).filter(F.col(id_col).isNotNull()), id_col
+    )
     split_expr = F.split(F.col(text_col), "\\Q" + sep + "\\E")
     keys = (
         src.select(id_col, F.posexplode(split_expr).alias("pos", "para"))

@@ -384,6 +384,32 @@ def test_paragraph_dedup_reassembly_split_stays_let_bound(spark):
     assert "para" not in minby_line, minby_line
 
 
+def test_paragraph_dedup_shares_one_text_exchange(spark):
+    """Round-12 plan pin: the fingerprint branch and the reassembly
+    branch read the SAME _spread exchange, and exchange reuse
+    materializes it once — one source pass, document text over the wire
+    exactly once. If reuse stops firing (a Spark upgrade, a branch
+    drifting to a non-identical subtree), the op silently pays a second
+    text exchange — still correct, so only a plan assert catches it.
+    Executed (AQE-final) plan, per the EXPLAIN-audit convention."""
+    from data_transform_make_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}\n\nq{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = paragraph_dedup(df, "doc_id", "text")
+    out.collect()
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "ReusedExchange" in plan, (
+        "the shared _spread exchange is no longer reused — "
+        "paragraph_dedup shuffles document text twice on this Spark "
+        "version (operators/dedup.py)"
+    )
+
+
 def test_paragraph_dedup_regex_metacharacter_separator(spark):
     """sep is a literal on both the split and the join side."""
     from data_transform_make_spark.operators.dedup import paragraph_dedup

@@ -118,11 +118,17 @@ def main() -> None:
         new_df = paragraph_dedup(aug, "doc_id", "t")
         ck_old, ck_new = _checksum(old_df), _checksum(new_df)
         assert ck_old == ck_new, (tag, ck_old, ck_new)
-        # interleaved min-of-3 blocks: old, new, old, new
-        o1 = _min3(lambda: old_df.count())
-        n1 = _min3(lambda: new_df.count())
-        o2 = _min3(lambda: old_df.count())
-        n2 = _min3(lambda: new_df.count())
+        # interleaved min-of-3 blocks: old, new, old, new. Timed through
+        # the checksum aggregate, which forces FULL evaluation including
+        # the reassembled text — count() prunes the final projection,
+        # and the two shapes reassemble differently (the first run of
+        # this experiment was count()-timed and missed the reassembly
+        # serialization that led to the shared-spread fix; see SCALE.md
+        # round 12).
+        o1 = _min3(lambda: _checksum(old_df))
+        n1 = _min3(lambda: _checksum(new_df))
+        o2 = _min3(lambda: _checksum(old_df))
+        n2 = _min3(lambda: _checksum(new_df))
         out[tag] = {
             "rows": ck_old[0],
             "checksum_match": True,
