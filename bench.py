@@ -86,6 +86,21 @@ HEADLINE = [
 
 RUNS_PER_PASS = 3
 
+# Headline queries whose plan ENDS in a bare projection: a count() action
+# lets Catalyst prune that projection, so their primary cells have always
+# measured the scan (plus any cardinality-changing ops), NOT the map work
+# (discovered round 12 — ta1's "flat" 10x scaling was an artifact). The
+# count() protocol stays untouched for cross-round comparability; this
+# third section re-times the same queries through a hash-sum over every
+# output column, which forces full evaluation, so the real per-round map
+# cost is also on record ("queries_forced" in the output, excluded from
+# the headline total).
+FORCED_EVAL = [
+    "ta1_text_stats",
+    "tc1_line_cleaning",
+    "pu1_scalar_pandas_udf",
+]
+
 
 def _reset_memo(name: str) -> None:
     """Drop operator-level memoization before a timed run so the number
@@ -124,10 +139,34 @@ def run_pass(sf_dir: str) -> None:
             qs[name](spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
+    forced: dict[str, float] = {}
+    from pyspark.sql import functions as F
+
+    for name in FORCED_EVAL:
+        df = qs[name](spark, sf_dir)
+        # decimal sum of 64-bit hashes: ANSI-safe, order-independent,
+        # and every output column feeds it — nothing can be pruned
+        hash_all = F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)"))
+
+        def _run(df=df, hash_all=hash_all):
+            df.agg(hash_all).collect()
+
+        _run()
+        runs = []
+        for _ in range(RUNS_PER_PASS):
+            t0 = time.perf_counter()
+            _run()
+            runs.append(time.perf_counter() - t0)
+        forced[name] = round(min(runs), 3)
     # unique sentinel prefix: the parent matches on it instead of "any line
     # starting with '{'" — a stray JVM/log4j '{...}' line printed around
     # spark.stop() can no longer be mistaken for the result JSON
-    print("BENCH_PASS_RESULT:" + json.dumps({"queries": timings, "queries_cold": cold}))
+    print(
+        "BENCH_PASS_RESULT:"
+        + json.dumps(
+            {"queries": timings, "queries_cold": cold, "queries_forced": forced}
+        )
+    )
     spark.stop()
 
 
@@ -162,6 +201,9 @@ def main() -> None:
     cold = {
         n: min(p["queries_cold"][n] for p in passes) for n in HEADLINE
     }
+    forced = {
+        n: min(p["queries_forced"][n] for p in passes) for n in FORCED_EVAL
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -171,6 +213,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": cold,
+                "queries_forced": forced,
                 "pass_totals": [
                     round(sum(p["queries"].values()), 3) for p in passes
                 ],
