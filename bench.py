@@ -99,6 +99,11 @@ FORCED_EVAL = [
     "ta1_text_stats",
     "tc1_line_cleaning",
     "pu1_scalar_pandas_udf",
+    # not a bare-projection ender (its shuffles+join DO show in the
+    # count() cell), but its final reassembly projection is pruned —
+    # and that is exactly the stage the r12 reshape moved, so the full
+    # cell is worth the record
+    "par1_paragraph_dedup",
 ]
 
 
