@@ -4078,54 +4078,54 @@ _DRIVER_WINDOW = [
     "a1_a2_order_counter_deltas",
     "q1_pricing_summary",
     "st1_stream_window_agg",
-    # (a) the 16 r9-stale keys — the only rows older than r10 after
-    # the r11 rotation.
-    "n3_ivf_topk",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "rc1_recursive_hierarchy",
-    "s1_set_ops",
-    "sd1_substring_dup_report",
-    "st8_stream_hopping_window",
-    "ta3_quality_score",
-    "ta4_doc_fingerprint",
-    "ta5_repetition",
-    "tc1_line_cleaning",
-    "u1_string_funcs",
-    "unp1_unpivot_measures",
-    "w1_running_total",
-    "w4_tumbling_window",
-    "w5_global_topk",
-    # (b) 27 of the 43 keys whose newest row is r10: alphabetically
-    # first 26 + par1 (its plan changed this round — the fingerprint
-    # reshuffle; external re-certification lands with the change).
-    "a3_insufficient_stock",
-    "a4_a6_status_transitions",
-    "a5_counter_pivot",
-    "agg1_ordered_collect",
-    "arr1_array_hofs",
-    "bm25_1_query_ranking",
-    "cd1_distinct_agg",
-    "cr1_compression_ratio",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard",
-    "dc1_dedup_clusters",
-    "dc2_dedup_clusters_capped",
-    "dec1_decontamination",
-    "dq1_column_profile",
-    "dt1_date_buckets",
-    "g3_grouping_sets",
-    "h1_having",
-    "j2_as_of_join",
-    "j3_range_join",
-    "ll1_training_corpus",
-    "ll2_training_corpus_clustered",
-    "ll3_training_corpus_capped",
-    "lm1_unigram_freq_score",
-    "mf1_map_explode",
-    "mix1_domain_mixing",
-    "mo1_moment_aggs",
-    "par1_paragraph_dedup",
+    # Round-13 rotation (r12 verdict directive 2):
+    # (a) the 16 r10-stale keys — the only rows older than r11 after
+    # the r12 rotation.
+    "n2_lsh_topk",
+    "n3b_ivf_topk_oracle",
+    "pack1_token_budget",
+    "pc1_percentiles",
+    "pii1_redaction",
+    "pu1_scalar_pandas_udf",
+    "q4_order_priority",
+    "q6_filter_agg",
+    "samp1_stratified_sample",
+    "sk1_salted_join",
+    "sp1_hash_split",
+    "st6_stream_ingest_routing",
+    "tf1_keyword_topk",
+    "udtf1_lateral_tokenize",
+    "w2_topk_per_group",
+    "w8_percent_rank",
+    # (b) the alphabetically-first 27 of the 43 keys whose newest row
+    # is r11 (the remaining 16 front the r14 window).
+    "apx1_sketch_aggs",
+    "ch1_doc_chunks",
+    "cs1_correlated_subquery",
+    "d2b_ngram_jaccard_capped",
+    "d3_minhash_lsh",
+    "d3b_minhash_lsh_md5",
+    "d4_simhash",
+    "d4b_simhash_md5",
+    "d5_embedding_near_dup",
+    "d5b_embedding_near_dup_lsh",
+    "d5c_embedding_near_dup_lsh_planted",
+    "d5d_embedding_lsh_oracle",
+    "d6_editdist_recheck",
+    "diff1_snapshot_diff",
+    "g1_rollup",
+    "g2_cube",
+    "ga1_pandas_grouped_agg",
+    "gf1_calendar_gap_fill",
+    "hop1_hopping_window_agg",
+    "j4_semi_anti_join",
+    "mm1_media_metadata",
+    "mm2_media_decode",
+    "mm2b_media_decode_oracle",
+    "mm3_frame_sample",
+    "mm4_resize",
+    "mm4b_resize_oracle",
+    "n1_topk_cosine",
 ]
 
 

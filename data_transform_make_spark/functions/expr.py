@@ -64,3 +64,24 @@ def optimized_plan(df: DataFrame) -> str:
     every pin fails loudly in this single helper instead of five tests
     re-deriving the incantation."""
     return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def executed_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """Stringified EXECUTED plan (physical, AQE-final) — the sibling of
+    :func:`optimized_plan` for pins that must read the plan that actually
+    ran: exchange reuse (``ReusedExchange``), codegen spans, runtime join
+    selections. The caller is responsible for executing the DataFrame
+    first when it wants the AQE-final shape (an unexecuted query prints
+    the initial plan). Same single-choke-point rationale as
+    :func:`optimized_plan`: the ``PythonSQLUtils.explainString``
+    incantation lives ONLY here, so a Spark API move fails loudly in one
+    helper instead of three call sites re-deriving it (advice, round 12).
+
+    Note the audit caveat that travels with this output: AQE ``explain``
+    prints initial + final sections, so a scan under a
+    ``BroadcastQueryStage`` appears twice — scan COUNTS over this string
+    overcount relative to ``executedPlan().toString()``.
+    """
+    return df.sparkSession.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )

@@ -152,7 +152,19 @@ def paragraph_dedup(
     (same contract the doc-id join implies everywhere else in the
     engine), and rows with a NULL id are dropped — a NULL id identifies
     nothing, the id-keyed join cannot carry it, and the pre-r12 shape's
-    behavior for it (NULL-keyed min_by ordering) was never defined. Output: ``(id, text, n_paras)`` — one row per document that
+    behavior for it (NULL-keyed min_by ordering) was never defined.
+    DUPLICATE ids are a SILENT-corruption mode, not a loud one (advice,
+    round 12): each duplicate source row inner-joins the one position
+    list merged across ALL rows sharing the id, ``F.get`` returns NULL
+    for positions past that row's own paragraph count, and ``concat_ws``
+    silently drops the NULLs — so both rows come back, each rebuilt from
+    the union of survivors that happen to be in range for its text, and
+    the output row count exceeds the distinct-document count. This is
+    not validated here because detection costs a full extra aggregation
+    on every call for a contract the id-join convention already states
+    engine-wide; callers who cannot vouch for uniqueness should gate on
+    ``exact_dedup``/``keep_min_by`` over the id first (one shuffle, and
+    it makes the choice of surviving row explicit instead of arbitrary). Output: ``(id, text, n_paras)`` — one row per document that
     retains at least one paragraph; ``n_paras`` is the
     surviving-paragraph count (LONG). ``sep`` is a LITERAL string on
     both sides — quoted with ``\\Q…\\E`` for the regex-based split and

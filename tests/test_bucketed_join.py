@@ -42,9 +42,9 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, bucketed_tables):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined.collect()
-        plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
-            joined._jdf.queryExecution(), "formatted"
-        )
+        from data_transform_make_spark.functions.expr import executed_plan
+
+        plan = executed_plan(joined)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     join_section = plan.split("Aggregate")[0]

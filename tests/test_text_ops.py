@@ -400,9 +400,9 @@ def test_paragraph_dedup_shares_one_text_exchange(spark):
     )
     out = paragraph_dedup(df, "doc_id", "text")
     out.collect()
-    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
-    )
+    from data_transform_make_spark.functions.expr import executed_plan
+
+    plan = executed_plan(out)
     assert "ReusedExchange" in plan, (
         "the shared _spread exchange is no longer reused — "
         "paragraph_dedup shuffles document text twice on this Spark "

@@ -28,6 +28,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from data_transform_make_spark import corpus  # noqa: E402
+from data_transform_make_spark.functions.expr import executed_plan  # noqa: E402
 from data_transform_make_spark.session import get_spark  # noqa: E402
 
 # Queries allowed to contain a cartesian/bnl join (genuinely all-pairs or
@@ -103,9 +104,7 @@ def main() -> int:
                 df = fn(spark, sf_dir)
             df.collect()  # execute so the AQE plan finalizes (codegen ids,
             # runtime join selections) — we audit the plan that actually ran
-            plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            plan = executed_plan(df)
         except Exception as e:  # pragma: no cover
             failures[name] = [f"ERROR building plan: {e}"]
             continue

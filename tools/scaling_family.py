@@ -5,6 +5,15 @@ min-of-3 steady-state per cell). dec1's one-slot memo is released before
 every timed run, as in bench.py, so the cell measures the operator.
 
 Prints one JSON line prefixed SCALING_FAMILY_RESULT:.
+
+dec1's cells are COLD-PATH cells (the memo release forces the
+checkpoint write every run) and the write cost swings ~3x with the
+box's disk state: three clean sessions read the sf0.1 cell at
+1.23 / 3.63 / 1.40 s while sf1.0 stayed flat (SCALE.md round 12 —
+the retracted r11 drift alarm). Its cells are therefore only
+comparable WITHIN one session's output line; the tool now stamps
+them ``"session_only": true`` so a cross-round read of two ledger
+tables cannot re-raise that alarm without tripping over the marker.
 """
 import json
 import os
@@ -50,11 +59,19 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return round(min(runs), 3)
 
+    # Cells whose absolute values are NOT comparable across sessions:
+    # dec1 measures its cold checkpoint write (disk-state-dependent,
+    # ~3x swing across clean sessions — see module docstring). The
+    # within-line ratio is still meaningful; the sf-cells are not.
+    SESSION_ONLY = {"dec1_decontamination"}
+
     out = {}
     for name in QUERIES:
         t01 = run_min3(name, SF01)
         t1 = run_min3(name, SF1)
         out[name] = {"sf0.1": t01, "sf1.0": t1, "ratio": round(t1 / t01, 2)}
+        if name in SESSION_ONLY:
+            out[name]["session_only"] = True
     print("SCALING_FAMILY_RESULT:" + json.dumps(out))
     spark.stop()
 
