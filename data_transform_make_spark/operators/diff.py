@@ -50,6 +50,16 @@ def snapshot_diff(
     carries C0 control bytes. Fixed-width digests close both holes; the
     NULL sentinel is distinguishable from every real digest up to a
     2^-256 collision.)
+
+    ``id_col`` must uniquely identify rows WITHIN each snapshot — the
+    engine-wide id-join contract. Duplicate ids are a SILENT-corruption
+    mode (the paragraph_dedup class, r13): the full-outer join fans out
+    m x n rows per duplicated id, so one id contributes several status
+    rows and the summary counts inflate quietly; a NULL id never joins,
+    so a NULL-id row in each snapshot reports one ``added`` PLUS one
+    ``removed`` instead of one ``changed``/``unchanged``. Callers who
+    cannot vouch for uniqueness should dedup each side first
+    (``keep_min_by`` on the id — one shuffle, explicit winner).
     """
     if not content_cols:
         raise ValueError("snapshot_diff: need at least one content column")
