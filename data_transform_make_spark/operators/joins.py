@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.cols import claim_scratch
+
 
 def _has_unorderable(dt: T.DataType) -> bool:
     """True when the type cannot appear in an ORDER BY (MapType anywhere
@@ -229,6 +231,8 @@ def bucketed_range_join(
         raise ValueError(
             f"bucketed_range_join: bucket_width must be > 0, got {bucket_width!r}"
         )
+    claim_scratch(left, "bucketed_range_join(left)", "__bucket")
+    claim_scratch(right, "bucketed_range_join(right)", "__bucket")
     lb = left.withColumn("__bucket", F.floor(F.col(left_point) / F.lit(bucket_width)).cast("long"))
     buckets = F.sequence(
         F.floor(F.col(right_lo) / F.lit(bucket_width)).cast("long"),

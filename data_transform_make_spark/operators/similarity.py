@@ -24,6 +24,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.cols import claim_scratch
 from ..functions.vectors import cosine_similarity
 
 
@@ -125,6 +126,7 @@ def lsh_bucket_topk(
             f"{multiprobe_hamming} (a negative radius matches NO bucket — "
             "silently empty results, not a smaller probe)"
         )
+    claim_scratch(df, "lsh_bucket_topk", "__bucket")
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes, seed)
     bucketed = df.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
@@ -230,6 +232,7 @@ def ivf_topk(
     probe = sorted(range(len(centroids)), key=lambda i: q_sq_dist(centroids[i]))[:nprobe]
     from ..functions.vectors import dot
 
+    claim_scratch(df, "ivf_topk", "__vv", "__cluster")
     # materialize dot(v, v) once per row, then assign against the
     # attribute — K fewer interpreted array folds per row (see
     # assign_ivf_cluster's vv parameter)

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.cols import claim_scratch
+
 
 def salted_sum(
     df: DataFrame, keys: list[str], value_col: str, n_salt: int = 16
@@ -29,6 +31,7 @@ def salted_sum(
     if n_salt < 1:
         # % 0 is an ANSI error (NULL salt legacy) — refuse at the boundary
         raise ValueError(f"salted_sum: n_salt must be >= 1, got {n_salt!r}")
+    claim_scratch(df, "salted_sum", "__salt", "__partial")
     salt = F.spark_partition_id() % n_salt
     partial = (
         df.withColumn("__salt", salt)
@@ -96,6 +99,8 @@ def salted_join(
     hot = [h for h in hot if h is not None]
     if not hot:
         return large.join(small, key, how)
+    claim_scratch(large, "salted_join(large)", "__salt")
+    claim_scratch(small, "salted_join(small)", "__salt")
     is_hot = F.coalesce(F.col(key).isin(hot), F.lit(False))
 
     large_hot = large.filter(is_hot).withColumn(

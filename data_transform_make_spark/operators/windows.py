@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.cols import claim_scratch
+
 
 def top_k_per_group(
     df: DataFrame,
@@ -39,6 +41,7 @@ def top_k_per_group(
         # silently-empty result, not a cheaper query
         raise ValueError(f"top_k_per_group: k must be >= 1, got {k!r}")
     if two_phase:
+        claim_scratch(df, "top_k_per_group(two_phase)", "__pid", "__lrn")
         local_w = Window.partitionBy(*group_cols, "__pid").orderBy(order_col)
         df = (
             df.withColumn("__pid", F.spark_partition_id())

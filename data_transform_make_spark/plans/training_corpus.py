@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.cols import claim_scratch
 from ..functions.text import doc_fingerprint, quality_score, shingles, token_count
 from ..operators.checkpointing import eager_cut
 from ..operators.dedup import _spread, keep_min_by, ngram_jaccard_pairs
@@ -485,6 +486,7 @@ def stratified_sample(
         raise ValueError(
             f"stratified_sample: n_per_group must be >= 1, got {n_per_group!r}"
         )
+    claim_scratch(docs, "stratified_sample", "__rn")
     h = mulhash32(id_col, SAMP_MULT)
     w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
     return (

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.cols import claim_scratch
+
 MAX_BODY_BYTES = 5 * 1024 * 1024  # server.js:11 express.text limit '5mb'
 
 
@@ -92,6 +94,9 @@ def ingest_with_reason(
     # a >5 MB whitespace-padded payload must dead-letter, not trim its way
     # under the cap (review, round 8 — the flag previously read the
     # sanitized column)
+    claim_scratch(
+        df, "ingest_with_reason", "__oversize", "__rec", "record", "reject_reason"
+    )
     oversize_raw = F.octet_length(F.col(body_col)) > MAX_BODY_BYTES
     staged = df.withColumn("__oversize", oversize_raw)
     # ADVICE r8: an oversize row's reject reason is already decided, so it

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.cols import claim_scratch
+
 
 def merge_upsert(
     target: DataFrame,
@@ -41,6 +43,16 @@ def merge_upsert(
     missing = [c for c in update_cols if c not in target.columns]
     if missing:
         raise ValueError(f"update_cols not in target: {missing}")
+    # __tgt_present would be silently REPLACED then swallowed by the
+    # output-column loop; a target column named like a __src_ alias would
+    # make the post-join F.col references ambiguous (a cryptic
+    # AnalysisException at best) — refuse both up front.
+    claim_scratch(
+        target,
+        "merge_upsert(target)",
+        "__tgt_present",
+        *[f"__src_{c}" for c in {*keys, *update_cols}],
+    )
 
     src = source.select(
         *[F.col(k).alias(f"__src_{k}") for k in keys],
@@ -258,6 +270,10 @@ def write_zordered(
     k = len(cols)
     if k < 2:
         raise ValueError("z-order needs >= 2 columns; use write_sorted for 1")
+    # the sink is the worst home for the scratch-collision class: a
+    # caller __z column would be replaced, used as the sort key's name,
+    # and DROPPED FROM THE DATA WRITTEN TO DISK
+    claim_scratch(df, "write_zordered", "__z")
     # the interleave must fit a SIGNED long: bit position 63 is the sign
     # (those rows would sort first as negatives) and Java shiftleft wraps
     # its shift amount mod 64 (aliasing high bits into low positions) —
