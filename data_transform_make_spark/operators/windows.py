@@ -40,6 +40,10 @@ def top_k_per_group(
         # the nprobe/radius class (round 9): top-0-per-group is a
         # silently-empty result, not a cheaper query
         raise ValueError(f"top_k_per_group: k must be >= 1, got {k!r}")
+    # rank_in_group is the documented ADDED column on a pass-through
+    # frame — replacing a caller's same-named column is the ingest
+    # record/reject_reason silent-loss class (review, round 13)
+    claim_scratch(df, "top_k_per_group", "rank_in_group")
     if two_phase:
         claim_scratch(df, "top_k_per_group(two_phase)", "__pid", "__lrn")
         local_w = Window.partitionBy(*group_cols, "__pid").orderBy(order_col)

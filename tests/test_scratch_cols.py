@@ -33,6 +33,15 @@ def test_top_k_per_group_two_phase_refuses_pid_lrn(spark):
         top_k_per_group(df, ["g"], F.col("id"), 2, two_phase=True)
     # one-phase never touches the scratch names — same frame is fine
     top_k_per_group(df, ["g"], F.col("id"), 2, two_phase=False)
+    # rank_in_group is added onto the pass-through frame in BOTH modes
+    with pytest.raises(ValueError, match=r"top_k_per_group.*rank_in_group"):
+        top_k_per_group(
+            df.withColumn("rank_in_group", F.lit(0)),
+            ["g"],
+            F.col("id"),
+            2,
+            two_phase=False,
+        )
 
 
 def test_bucketed_range_join_refuses_bucket_on_either_side(spark):
