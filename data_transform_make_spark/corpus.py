@@ -2909,7 +2909,13 @@ def ga1_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stringifies the hints, so signature inference can't see pd.Series.
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def weighted_avg(price, size):
-        cents = (price * 100).round().astype("int64")
+        import numpy as np
+
+        # floor(x + 0.5) = SQL round (half away from zero) for positive
+        # money — the pu1 convention; pandas .round() is half-to-even
+        # and diverges on exact .5 float ties (0.005 * 100 == 0.5
+        # exactly; review, round 13)
+        cents = np.floor(price * 100 + 0.5).astype("int64")
         return float((cents * size).sum()) / float(100 * size.sum())
 
     p = load_table(spark, sf_dir, "part")

@@ -168,10 +168,19 @@ def streaming_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # floor(x + 0.5) = SQL round (half away from zero) for
+            # positive money — the pu1 convention. pandas' own .round()
+            # is half-to-even and diverges on exact .5 float ties,
+            # which are REAL: 0.005 * 100 == 0.5 exactly in float64
+            # (review, round 13; the SQL twin is DuckDB round()).
+            cents += int(
+                np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum()
+            )
         state.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total_cents": [cents]})
 

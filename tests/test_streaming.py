@@ -127,6 +127,36 @@ def test_stream_stateful_counters_match_batch(spark, sf_dir):
     assert got == want  # final emitted state == batch aggregate
 
 
+def test_pandas_money_fold_matches_sql_round_on_float_ties():
+    """The pandas-side cents folds (st3's stateful counter, ga1's grouped
+    agg) must round HALF AWAY FROM ZERO like their SQL twins — via
+    floor(x + 0.5), the pu1 convention — because pandas' own .round() is
+    half-to-even and exact .5 float ties are REAL: 0.005 * 100 == 0.5
+    exactly in float64. The fixture carries no tie values (which is why
+    the old fold's driver rows were green); this pins the convention on
+    the tie itself, against DuckDB (review, round 13)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    vals = [0.005, 0.015, 1.005, 12.34, 0.5, 2.675]
+    s = pd.Series(vals, dtype="float64")
+    engine = np.floor(s * 100 + 0.5).astype("int64").tolist()
+    # CAST to DOUBLE: the oracle columns are parquet doubles — a bare
+    # SQL literal would be DECIMAL and round in decimal arithmetic
+    # (1.005 * 100 = 100.500 exactly), which is not the comparison the
+    # driver performs
+    oracle = [
+        duckdb.sql(
+            f"SELECT CAST(round(CAST({v!r} AS DOUBLE) * 100) AS BIGINT)"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert engine == oracle
+    # the trap this replaces: pandas half-to-even disagrees on the tie
+    assert (s * 100).round().astype("int64").tolist() != oracle
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir):
     got = {
         (r.click_id, r.purchase_id)
