@@ -216,7 +216,10 @@ def main() -> None:
     }
     # .get(): a replayed pass result from a pre-r12 bench.py has no
     # "queries_forced" key — degrade to the cells that exist rather
-    # than KeyError (advice, round 12).
+    # than KeyError (advice, round 12). Cells missing from EVERY pass
+    # are listed in "forced_missing" so degraded output is
+    # self-describing — a ledger reader can tell "degraded away by
+    # replay" from "cell removed" (advice, round 13).
     forced = {}
     for n in FORCED_EVAL:
         vals = [
@@ -226,6 +229,12 @@ def main() -> None:
         ]
         if vals:
             forced[n] = min(vals)
+    forced_missing = [n for n in FORCED_EVAL if n not in forced]
+    if forced_missing:
+        sys.stderr.write(
+            f"bench: FORCED_EVAL cells absent from every pass: "
+            f"{forced_missing}\n"
+        )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -236,6 +245,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_cold": cold,
                 "queries_forced": forced,
+                "forced_missing": forced_missing,
                 "pass_totals": [
                     round(sum(p["queries"].values()), 3) for p in passes
                 ],

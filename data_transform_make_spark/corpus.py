@@ -2909,13 +2909,14 @@ def ga1_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stringifies the hints, so signature inference can't see pd.Series.
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def weighted_avg(price, size):
-        import numpy as np
+        # sign-aware SQL-round fold (half away from zero on BOTH signs,
+        # non-finite refused loudly) — functions/money.py; pandas .round()
+        # is half-to-even and diverges on exact .5 float ties (r13 find),
+        # and the interim floor(x+0.5) diverged on negative ties (r14).
+        # Absolute import: relative imports don't survive cloudpickle.
+        from data_transform_make_spark.functions.money import money_round_units
 
-        # floor(x + 0.5) = SQL round (half away from zero) for positive
-        # money — the pu1 convention; pandas .round() is half-to-even
-        # and diverges on exact .5 float ties (0.005 * 100 == 0.5
-        # exactly; review, round 13)
-        cents = np.floor(price * 100 + 0.5).astype("int64")
+        cents = money_round_units(price, 100)
         return float((cents * size).sum()) / float(100 * size.sum())
 
     p = load_table(spark, sf_dir, "part")
@@ -2937,22 +2938,23 @@ def pu1_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar (Series→Series) pandas_udf — the remaining §2.9 surface:
     per-row discounted net price in integer micro-units, Arrow-batched.
 
-    Exactness contract with the SQL twin: positive money values only, so
-    ``floor(x + 0.5)`` equals SQL ``round`` (half away from zero) while
-    pandas' own ``round`` is half-to-even; all downstream arithmetic is
-    int64 — identical values on both engines. A real pipeline would keep
-    this expression JVM-side (it's expressible as Columns); the entry
-    exists to oracle-check the Arrow scalar-UDF path itself."""
+    Exactness contract with the SQL twin: the sign-aware integer-unit fold
+    (functions/money.py) equals SQL ``round`` — half away from zero — on
+    BOTH signs, while pandas' own ``round`` is half-to-even; all downstream
+    arithmetic is int64 — identical values on both engines. A real pipeline
+    would keep this expression JVM-side (it's expressible as Columns); the
+    entry exists to oracle-check the Arrow scalar-UDF path itself."""
     from pyspark.sql.functions import pandas_udf
 
     # hint-free signature -> SCALAR eval type (stringified annotations from
     # `from __future__ import annotations` would break hint resolution here)
     @pandas_udf("long")
     def net_micros(price, discount):
-        import numpy as np
+        # absolute import: relative imports don't survive cloudpickle
+        from data_transform_make_spark.functions.money import money_round_units
 
-        cents = np.floor(price * 100 + 0.5).astype("int64")
-        disc_bp = np.floor(discount * 10000 + 0.5).astype("int64")
+        cents = money_round_units(price, 100)
+        disc_bp = money_round_units(discount, 10000)
         return cents * (10000 - disc_bp)
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -4075,6 +4077,17 @@ def ll3_training_corpus_capped(spark: SparkSession, sf_dir: str, eager: bool = T
 # d5/d5d/n1 precedent from r11). n2 and the rest of the r10 block
 # lead the r13 rotation. After r12 no key of any kind has a row
 # older than r10.
+#
+# ROUND 13 (registry FROZEN at 109 — steady rotation, per the r12
+# verdict directive 2): the 16 r10-stale keys fronted, then the
+# alphabetically-first 27 of the 43 r11-stale keys. After r13 no key
+# of any kind has a row older than r11.
+#
+# ROUND 14 (registry FROZEN at 109 — steady rotation, per the r13
+# verdict directive 1): the 16 r11-stale keys fronted (st3 first —
+# its fold changed in r13 after its last external row), then the
+# alphabetically-first 27 of the 43 r12-stale keys. After r14 no key
+# of any kind has a row older than r12.
 _DRIVER_WINDOW = [
     # core anchors (certified every round)
     "p1_status_gate",
@@ -4084,54 +4097,59 @@ _DRIVER_WINDOW = [
     "a1_a2_order_counter_deltas",
     "q1_pricing_summary",
     "st1_stream_window_agg",
-    # Round-13 rotation (r12 verdict directive 2):
-    # (a) the 16 r10-stale keys — the only rows older than r11 after
-    # the r12 rotation.
-    "n2_lsh_topk",
-    "n3b_ivf_topk_oracle",
-    "pack1_token_budget",
-    "pc1_percentiles",
-    "pii1_redaction",
-    "pu1_scalar_pandas_udf",
-    "q4_order_priority",
-    "q6_filter_agg",
-    "samp1_stratified_sample",
-    "sk1_salted_join",
-    "sp1_hash_split",
-    "st6_stream_ingest_routing",
-    "tf1_keyword_topk",
-    "udtf1_lateral_tokenize",
-    "w2_topk_per_group",
-    "w8_percent_rank",
+    # Round-14 rotation (r13 verdict directive 1):
+    # (a) the 16 r11-stale keys — after the r13 rotation these are the
+    # only keys whose newest driver row is r11 (verified against the
+    # cumulative CORRECTNESS_r01–r13 history). st3 is fronted: its fold
+    # body changed in r13 (the money-rounding fix) AFTER its last
+    # external row, so it needs a fresh post-fix driver row first (the
+    # d5/par1 "fresh rows land with the change" precedent).
+    "st3_stream_stateful_counters",
+    "sql1_raw_sql",
+    "st2_stream_dedup",
+    "st4_stream_stream_join",
+    "st5_stream_session_window",
+    "st7_stream_static_join",
+    "t5_falsy_defaults",
+    "t7_js_parse_int",
+    "ta1_text_stats",
+    "ta2_lang_id",
+    "up1_unpivot",
+    "w3_sessionize",
+    "w6_lag_lead",
+    "w7_ntile",
+    "x1_json_extract",
+    "x2_explode_sequence",
     # (b) the alphabetically-first 27 of the 43 keys whose newest row
-    # is r11 (the remaining 16 front the r14 window).
-    "apx1_sketch_aggs",
-    "ch1_doc_chunks",
-    "cs1_correlated_subquery",
-    "d2b_ngram_jaccard_capped",
-    "d3_minhash_lsh",
-    "d3b_minhash_lsh_md5",
-    "d4_simhash",
-    "d4b_simhash_md5",
-    "d5_embedding_near_dup",
-    "d5b_embedding_near_dup_lsh",
-    "d5c_embedding_near_dup_lsh_planted",
-    "d5d_embedding_lsh_oracle",
-    "d6_editdist_recheck",
-    "diff1_snapshot_diff",
-    "g1_rollup",
-    "g2_cube",
-    "ga1_pandas_grouped_agg",
-    "gf1_calendar_gap_fill",
-    "hop1_hopping_window_agg",
-    "j4_semi_anti_join",
-    "mm1_media_metadata",
-    "mm2_media_decode",
-    "mm2b_media_decode_oracle",
-    "mm3_frame_sample",
-    "mm4_resize",
-    "mm4b_resize_oracle",
-    "n1_topk_cosine",
+    # is r12 (the remaining 16 — par1, q3, q5, rc1, s1, sd1, st8,
+    # ta3, ta4, ta5, tc1, u1, unp1, w1, w4, w5 — front the r15 window).
+    "a3_insufficient_stock",
+    "a4_a6_status_transitions",
+    "a5_counter_pivot",
+    "agg1_ordered_collect",
+    "arr1_array_hofs",
+    "bm25_1_query_ranking",
+    "cd1_distinct_agg",
+    "cr1_compression_ratio",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard",
+    "dc1_dedup_clusters",
+    "dc2_dedup_clusters_capped",
+    "dec1_decontamination",
+    "dq1_column_profile",
+    "dt1_date_buckets",
+    "g3_grouping_sets",
+    "h1_having",
+    "j2_as_of_join",
+    "j3_range_join",
+    "ll1_training_corpus",
+    "ll2_training_corpus_clustered",
+    "ll3_training_corpus_capped",
+    "lm1_unigram_freq_score",
+    "mf1_map_explode",
+    "mix1_domain_mixing",
+    "mo1_moment_aggs",
+    "n3_ivf_topk",
 ]
 
 

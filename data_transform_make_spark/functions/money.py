@@ -1,0 +1,45 @@
+"""Cross-engine exact money rounding for the Arrow/pandas folds.
+
+The pandas-side folds (corpus.ga1/pu1, streaming st3) convert float money
+to integer units before accumulating so their results are bit-identical to
+the DuckDB oracle twins. The conversion must therefore round exactly like
+SQL ``round()`` — **half away from zero** — on BOTH signs:
+
+* pandas/numpy ``.round()`` is half-to-even: diverges on exact positive
+  ties, which are real in float64 (``0.005 * 100 == 0.5`` exactly) — the
+  round-13 find.
+* the r13 fix ``floor(x + 0.5)`` is half-UP: correct for positive money
+  but rounds negative ties toward +inf (``floor(-0.5 + 0.5) = 0`` where
+  SQL gives -1) — the same silent-divergence shape one sign away (r13
+  verdict item 1 / ADVICE r13).
+
+``trunc(y + copysign(0.5, y))`` is half-away-from-zero on both signs and
+reduces to ``floor(y + 0.5)`` for y >= 0, so positive-fixture results are
+unchanged. Pinned against DuckDB DOUBLE arithmetic (both signs, exact
+ties) in tests/test_money_round.py.
+"""
+
+from __future__ import annotations
+
+
+def money_round_units(values, scale: int):
+    """float money -> int64 integer units, SQL round semantics.
+
+    ``values`` is a pandas Series or numpy array; ``scale`` the integer
+    units per whole (100 for cents, 10000 for basis points). Returns the
+    same container type (a scalar pandas_udf must yield a Series — the
+    index is preserved). Equals DuckDB/Spark ``CAST(round(x * scale) AS
+    BIGINT)`` for every finite float of either sign. NaN/Inf are refused
+    loudly: they cannot be represented in integer units and silently
+    casting would produce engine-dependent garbage (int64 min on numpy).
+    """
+    import numpy as np
+
+    y = values.astype("float64") * scale
+    arr = np.asarray(y, dtype="float64")
+    if not np.isfinite(arr).all():
+        raise ValueError(
+            "money_round_units: non-finite money value (NaN/Inf) — "
+            "integer-unit folds require finite inputs"
+        )
+    return np.trunc(y + np.copysign(0.5, arr)).astype("int64")

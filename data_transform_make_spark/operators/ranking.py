@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.cols import claim_scratch
 from ..functions.text import tokens
 from .checkpointing import eager_cut
 from .dedup import _spread
@@ -106,6 +107,14 @@ def bm25_topk(
         raise ValueError("bm25_topk: need at least one query term")
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("bm25_topk: query terms must be distinct")
+    # __tfs is withColumn-stamped on the CALLER frame (the one scratch
+    # site here; every other __ column is born inside engine-owned
+    # select/agg projections). Currently harmless — the narrow select
+    # reads the operator's own value and never passes __tfs through —
+    # but guarded for uniformity with the other ten public scratch
+    # sites so a widened projection can't reintroduce the class
+    # (advice, round 13).
+    claim_scratch(df, "bm25_topk", "__tfs")
     # coalesce: tokens(NULL text) is NULL, and a NULL token array would
     # poison dl/tf (NULL, or -1 under legacy sizeOfNull) and surface
     # NULL-scored rows in the top-k

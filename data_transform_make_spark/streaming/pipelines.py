@@ -168,19 +168,18 @@ def streaming_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
 
     def update(key, pdfs, state: GroupState):
-        import numpy as np
+        # sign-aware SQL-round fold (half away from zero on BOTH signs,
+        # non-finite refused loudly) — functions/money.py. pandas' own
+        # .round() is half-to-even and diverges on exact .5 float ties,
+        # which are REAL (0.005 * 100 == 0.5 exactly; r13 find), and the
+        # interim floor(x+0.5) diverged on negative ties (r14).
+        # Absolute import: relative imports don't survive cloudpickle.
+        from data_transform_make_spark.functions.money import money_round_units
 
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # floor(x + 0.5) = SQL round (half away from zero) for
-            # positive money — the pu1 convention. pandas' own .round()
-            # is half-to-even and diverges on exact .5 float ties,
-            # which are REAL: 0.005 * 100 == 0.5 exactly in float64
-            # (review, round 13; the SQL twin is DuckDB round()).
-            cents += int(
-                np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum()
-            )
+            cents += int(money_round_units(pdf["value"], 100).sum())
         state.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total_cents": [cents]})
 

@@ -1,0 +1,83 @@
+"""functions/money.py — the sign-aware SQL-round money fold (round 14).
+
+Round 13 fixed the pandas half-to-even divergence on positive ties with
+``floor(x + 0.5)``; that form is half-UP, which rounds NEGATIVE exact ties
+toward +inf where SQL ``round`` (DuckDB, Spark) rounds half away from zero
+— the identical silent-divergence shape one sign away (r13 verdict item 1,
+r13 ADVICE). The shared fold ``trunc(y + copysign(0.5, y))`` is
+half-away-from-zero on both signs and reduces to the r13 form for y >= 0,
+so every positive-fixture result is unchanged. These tests pin the fold
+against DuckDB DOUBLE arithmetic on both signs (exact ties included), pin
+the two folds it replaced as divergent on the values that killed them, and
+pin the loud NaN/Inf refusal.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_transform_make_spark.functions.money import money_round_units
+
+# exact .5 float ties of both signs (0.005 * 100 == 0.5 exactly in
+# float64), non-tie values, zeros (both float zeros), large magnitudes
+TIE_VALS = [
+    -2.675, -1.5, -1.005, -0.5, -0.025, -0.015, -0.005,
+    -0.0, 0.0,
+    0.005, 0.015, 0.025, 0.5, 1.005, 1.5, 2.675,
+    12.34, -12.34, 123456.789, -123456.789,
+]
+
+
+def _duck_round(vals, scale):
+    # CAST to DOUBLE: the oracle columns are parquet doubles — a bare SQL
+    # literal would be DECIMAL and round in decimal arithmetic, which is
+    # not the comparison the driver performs.
+    return [
+        duckdb.sql(
+            f"SELECT CAST(round(CAST({v!r} AS DOUBLE) * {scale}) AS BIGINT)"
+        ).fetchone()[0]
+        for v in vals
+    ]
+
+
+@pytest.mark.parametrize("scale", [100, 10000])
+def test_fold_matches_duckdb_round_on_both_signs(scale):
+    s = pd.Series(TIE_VALS, dtype="float64")
+    assert money_round_units(s, scale).tolist() == _duck_round(TIE_VALS, scale)
+
+
+def test_replaced_folds_diverge_on_the_values_that_killed_them():
+    s = pd.Series(TIE_VALS, dtype="float64")
+    oracle = _duck_round(TIE_VALS, 100)
+    # pandas half-to-even: dies on positive ties (the r13 find)
+    assert (s * 100).round().astype("int64").tolist() != oracle
+    # r13's floor(x + 0.5) half-UP: dies on negative ties (the r14 fix)
+    assert np.floor(s * 100 + 0.5).astype("int64").tolist() != oracle
+
+
+def test_negative_ties_specifically():
+    # the exact divergence class: floor(-0.5 + 0.5) = 0, SQL says -1
+    s = pd.Series([-0.005, -0.015, -0.025], dtype="float64")
+    assert money_round_units(s, 100).tolist() == [-1, -2, -3]
+
+
+def test_preserves_pandas_series_container():
+    # a scalar pandas_udf must return a Series, index preserved
+    s = pd.Series([1.0, 2.5], index=[7, 9], dtype="float64")
+    out = money_round_units(s, 100)
+    assert isinstance(out, pd.Series)
+    assert out.index.tolist() == [7, 9]
+    assert out.dtype == np.int64
+
+
+def test_ndarray_input_supported():
+    out = money_round_units(np.array([-0.005, 0.005]), 100)
+    assert isinstance(out, np.ndarray)
+    assert out.tolist() == [-1, 1]
+
+
+@pytest.mark.parametrize("bad", [float("nan"), float("inf"), float("-inf")])
+def test_non_finite_refused_loudly(bad):
+    with pytest.raises(ValueError, match="non-finite"):
+        money_round_units(pd.Series([1.0, bad]), 100)

@@ -108,6 +108,22 @@ def test_similarity_topk_refuse_scratch(spark):
         )
 
 
+def test_bm25_topk_refuses_tfs(spark):
+    # __tfs is bm25's one withColumn-on-caller scratch site; currently
+    # overwritten-before-read and never passed through, guarded for
+    # uniformity so a widened projection can't reintroduce the class
+    # (advice, round 13)
+    from data_transform_make_spark.operators.ranking import bm25_topk
+
+    docs = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c").alias("text"),
+        F.lit(0).alias("__tfs"),
+    )
+    with pytest.raises(ValueError, match=r"bm25_topk.*__tfs"):
+        bm25_topk(docs, "doc_id", "text", ["a"], k=2)
+
+
 def test_stratified_sample_refuses_rn(spark):
     from data_transform_make_spark.plans.training_corpus import (
         stratified_sample,

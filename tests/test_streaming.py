@@ -129,19 +129,21 @@ def test_stream_stateful_counters_match_batch(spark, sf_dir):
 
 def test_pandas_money_fold_matches_sql_round_on_float_ties():
     """The pandas-side cents folds (st3's stateful counter, ga1's grouped
-    agg) must round HALF AWAY FROM ZERO like their SQL twins — via
-    floor(x + 0.5), the pu1 convention — because pandas' own .round() is
+    agg) must round HALF AWAY FROM ZERO like their SQL twins — via the
+    sign-aware functions/money.py fold — because pandas' own .round() is
     half-to-even and exact .5 float ties are REAL: 0.005 * 100 == 0.5
     exactly in float64. The fixture carries no tie values (which is why
     the old fold's driver rows were green); this pins the convention on
-    the tie itself, against DuckDB (review, round 13)."""
+    the tie itself, against DuckDB (review, round 13). Negative ties are
+    pinned separately in tests/test_money_round.py (round 14)."""
     import duckdb
-    import numpy as np
     import pandas as pd
+
+    from data_transform_make_spark.functions.money import money_round_units
 
     vals = [0.005, 0.015, 1.005, 12.34, 0.5, 2.675]
     s = pd.Series(vals, dtype="float64")
-    engine = np.floor(s * 100 + 0.5).astype("int64").tolist()
+    engine = money_round_units(s, 100).tolist()
     # CAST to DOUBLE: the oracle columns are parquet doubles — a bare
     # SQL literal would be DECIMAL and round in decimal arithmetic
     # (1.005 * 100 = 100.500 exactly), which is not the comparison the

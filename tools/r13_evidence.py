@@ -95,6 +95,15 @@ def hashsum(df):
         F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
+    # a NULL sum (decimal overflow under ANSI-off, or a zero-row frame
+    # with n>0 impossible) on BOTH arms would make the equal-output
+    # assert pass vacuously — refuse loudly instead of certifying a
+    # timing on an unverified identity (advice, round 13)
+    if row["n"] > 0 and row["h"] is None:
+        raise AssertionError(
+            "hashsum: checksum is NULL over a non-empty frame (decimal "
+            "overflow?) — the cross-arm identity cannot be certified"
+        )
     return (str(row["h"]), row["n"])
 
 
