@@ -609,8 +609,7 @@ def j3_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, text FROM (
       SELECT doc_id, text,
-             row_number() OVER (PARTITION BY md5(regexp_replace(trim(lower(text)),
-                                                '\\s+', ' ', 'g'))
+             row_number() OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                                 ORDER BY doc_id) AS rn
       FROM documents
     ) WHERE rn = 1
@@ -634,7 +633,7 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT doc_id,
            CASE WHEN len(trim(text)) = 0 THEN 0
-                ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END
+                ELSE len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) END
              AS n_words,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
              AS n_tokens,
@@ -659,7 +658,7 @@ def ta1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_lang_sql() -> str:
     score = lambda words: (
-        "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        "len(list_filter(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'), zz -> zz <> ''), "
         f"t -> t IN ({', '.join(repr(w) for w in words)})))"
     )
     s = {lang: score(words) for lang, words in LANG_STOPWORDS.items()}
@@ -668,10 +667,10 @@ def _duck_lang_sql() -> str:
     WITH scored AS (
       SELECT doc_id, lang AS true_lang,
              {s['en']} AS s_en, {s['de']} AS s_de, {s['es']} AS s_es, {s['fr']} AS s_fr,
-             CASE WHEN len(trim(text)) = 0 THEN CAST(0 AS DOUBLE)
-                  ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+             CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'), zz -> zz <> '')) = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'), zz -> zz <> ''),
                                             t -> t IN ({stop}))) AS DOUBLE)
-                       / len(regexp_split_to_array(trim(lower(text)), '\\s+')) END
+                       / len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'), zz -> zz <> '')) END
                AS stop_ratio
       FROM documents
     )
@@ -708,11 +707,10 @@ def ta2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ELSE CAST(len(text) - len(regexp_replace(text,
                               '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) END)
                        <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
-             CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0.0
-                         ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)),
-                              '\s+'), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+             CASE WHEN (CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) = 0 THEN 0.0
+                         ELSE CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> ''), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
                               AS DOUBLE)
-                              / len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
+                              / len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) END)
                        >= 0.05 THEN 1.0 ELSE 0.0 END AS stop_ok
       FROM documents
     )
@@ -730,7 +728,7 @@ def ta3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ta4_doc_fingerprint",
     r"""
     SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
     FROM documents
     """,
 )
@@ -747,7 +745,7 @@ def ta4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- guard: Spark's tokens('') is [] (doc dropped by the explode) while
       -- regexp_split_to_array('') is [''] (one empty 2-gram row) — blank or
       -- NULL docs must not reach the UNNEST (mirrors tf1's oracle guard)
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
       FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
     ), sh AS (
       SELECT doc_id, u.sh
@@ -845,7 +843,7 @@ def pii1_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tf1_keyword_topk",
     r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
       FROM documents WHERE len(trim(text)) > 0
     ), tok AS (
       SELECT doc_id, u.term FROM toks, UNNEST(t) AS u(term)
@@ -881,7 +879,7 @@ def tf1_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lm1_unigram_freq_score",
     r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS tk
       FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
     ), tok AS (
       SELECT doc_id, u.t FROM toks, UNNEST(tk) AS u(t)
@@ -964,7 +962,7 @@ def samp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), k AS (
       SELECT doc_id, lines,
              list_filter(lines, l -> len(trim(l)) > 0
-               AND len(regexp_split_to_array(trim(l), '\s+')) >= 3) AS kept
+               AND len(list_filter(regexp_split_to_array(trim(l), '\s+'), zz -> zz <> '')) >= 3) AS kept
       FROM arr
     ), d AS (
       SELECT doc_id, lines,
@@ -1068,11 +1066,10 @@ def mix1_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE CAST(len(text) - len(regexp_replace(text,
                      '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) END)
               <= 0.2 THEN 1.0 ELSE 0.0 END)
-       + (CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0.0
-                ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)),
-                     '\s+'), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+       + (CASE WHEN (CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> ''), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
                      AS DOUBLE)
-                     / len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
+                     / len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) END)
               >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality,
         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
           AS BIGINT) AS n_tokens
@@ -1118,7 +1115,7 @@ def pack1_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
           ELSE '' END AS t
       FROM documents
     ), toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(t)), '\s+') AS tk
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(t, ''))), '\s+'), zz -> zz <> '') AS tk
       FROM aug WHERE t IS NOT NULL AND len(trim(t)) > 0
     ), spans AS (
       SELECT doc_id, g.i AS pos, array_to_string(tk[g.i : g.i + 7], ' ') AS span
@@ -1301,7 +1298,7 @@ def dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_filter(tk, x -> x = 'scan'))  AS tf_scan,
              len(list_filter(tk, x -> x = 'merge')) AS tf_merge
       FROM (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS tk
         FROM documents
         WHERE text IS NOT NULL AND len(trim(text)) > 0
       )
@@ -1552,7 +1549,7 @@ def unp1_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d2_ngram_jaccard",
     r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
@@ -1588,7 +1585,7 @@ def d2_ngram_jaccard(
     "d2b_ngram_jaccard_capped",
     r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
@@ -1671,7 +1668,7 @@ def _duck_minhash_md5_sql(
     )
     return rf"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
@@ -1743,7 +1740,7 @@ def _duck_simhash_md5_sql(n_bits: int = 60, max_hamming: int = 8) -> str:
     )
     return rf"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
       FROM documents
     ), tok AS (
       SELECT doc_id,
@@ -3460,21 +3457,20 @@ def sql1_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE CAST(len(text) - len(regexp_replace(text,
                          '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) END)
                   <= 0.2 THEN 1.0 ELSE 0.0 END)
-           + (CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0.0
-                    ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)),
-                         '\s+'), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+           + (CASE WHEN (CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> ''), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
                          AS DOUBLE)
-                         / len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
+                         / len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) END)
                   >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0 >= 0.66
     ), exact AS (
       SELECT * FROM (
         SELECT *, row_number() OVER (
-          PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+          PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
           ORDER BY doc_id) AS rn
         FROM quality
       ) WHERE rn = 1
     ), toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM exact
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t FROM exact
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
@@ -3514,7 +3510,7 @@ def ll1_training_corpus(spark: SparkSession, sf_dir: str, eager: bool = True) ->
     "udtf1_lateral_tokenize",
     r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), zz -> zz <> '') AS t
       FROM documents WHERE len(trim(text)) > 0
     )
     SELECT doc_id, t[i] AS token, CAST(i - 1 AS INT) AS position,
@@ -3576,7 +3572,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dc1_dedup_clusters",
     r"""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
@@ -3629,7 +3625,7 @@ def dc1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dc2_dedup_clusters_capped",
     r"""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
@@ -3692,7 +3688,7 @@ def dc2_dedup_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CASE WHEN @MULHASH_SPLIT@ < 3435973837
                   THEN 'train' ELSE 'eval' END AS split,
-             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+             list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, split, u.sh
@@ -3729,7 +3725,7 @@ def dec1_decontamination(spark: SparkSession, sf_dir: str, eager: bool = True) -
     "ch1_doc_chunks",
     r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
       FROM documents
       WHERE len(trim(text)) > 0
     )
@@ -3754,7 +3750,7 @@ def ch1_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d6_editdist_recheck",
     r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
@@ -3862,21 +3858,20 @@ def w8_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE CAST(len(text) - len(regexp_replace(text,
                          '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) END)
                   <= 0.2 THEN 1.0 ELSE 0.0 END)
-           + (CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0.0
-                    ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)),
-                         '\s+'), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+           + (CASE WHEN (CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> ''), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
                          AS DOUBLE)
-                         / len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
+                         / len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) END)
                   >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0 >= 0.66
     ), exact AS (
       SELECT * FROM (
         SELECT *, row_number() OVER (
-          PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+          PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
           ORDER BY doc_id) AS rn
         FROM quality
       ) WHERE rn = 1
     ), toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM exact
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t FROM exact
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
@@ -3939,21 +3934,20 @@ def ll2_training_corpus_clustered(spark: SparkSession, sf_dir: str, eager: bool 
                     ELSE CAST(len(text) - len(regexp_replace(text,
                          '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) END)
                   <= 0.2 THEN 1.0 ELSE 0.0 END)
-           + (CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0.0
-                    ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)),
-                         '\s+'), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+           + (CASE WHEN (CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> ''), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
                          AS DOUBLE)
-                         / len(regexp_split_to_array(trim(lower(text)), '\s+')) END)
+                         / len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) END)
                   >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0 >= 0.66
     ), exact AS (
       SELECT * FROM (
         SELECT *, row_number() OVER (
-          PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+          PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
           ORDER BY doc_id) AS rn
         FROM quality
       ) WHERE rn = 1
     ), toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM exact
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t FROM exact
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')

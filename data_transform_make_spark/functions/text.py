@@ -37,11 +37,22 @@ def _c(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization of lowercased text; empty/blank -> []."""
-    t = F.trim(F.lower(_c(col)))
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    """Whitespace tokenization of lowercased text; NULL/empty/blank -> [].
+
+    Empty fragments are FILTERED after the split rather than dodged with a
+    trim + blank-check (the pre-r14 form): SQL ``trim`` strips SPACES only,
+    so text starting/ending with a tab or newline produced phantom ``''``
+    tokens — inflated word counts, a +1 on every bm25 ``dl``, ``''``-bearing
+    shingles — identically on both engines (fixture-invisible; found by the
+    r14 blind-spot sweep, tools/r14_blindspot.py). The filter also makes
+    whitespace-only text [] (the documented contract, previously violated
+    for non-space whitespace) and NULL [] (previously NULL here while every
+    SQL twin's CASE arm said [] — a latent cross-engine divergence on any
+    NULL-bearing corpus). Oracle twins mirror with
+    ``list_filter(regexp_split_to_array(...), zz -> zz <> '')``.
+    """
+    t = F.split(F.trim(F.lower(F.coalesce(_c(col), F.lit("")))), r"\s+")
+    return F.filter(t, lambda x: x != F.lit(""))
 
 
 def word_count(col: Column | str) -> Column:
@@ -114,8 +125,18 @@ def lang_id(col: Column | str) -> Column:
 
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic content fingerprint: md5 of whitespace-normalized,
-    lowercased text. Stable across engines (md5 in both Spark and DuckDB)."""
-    norm = F.regexp_replace(F.trim(F.lower(_c(col))), r"\s+", " ")
+    lowercased text. Stable across engines (md5 in both Spark and DuckDB).
+
+    Normalize-THEN-trim (r14): the pre-r14 trim-then-normalize order left
+    a leading/trailing space whenever the text's edge whitespace was a tab
+    or newline (``trim`` strips spaces only), so ``"a b"`` and ``"\\ta b"``
+    fingerprinted as distinct — dedup silently missed them, identically on
+    both engines (tools/r14_blindspot.py). After ``\\s+ -> ' '`` every edge
+    run is a single SPACE, which trim removes; results are unchanged for
+    text whose edges are spaces or non-whitespace (all fixture rows).
+    NULL stays NULL (both engines), never equal to any real fingerprint.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
     return F.md5(norm)
 
 
@@ -211,8 +232,15 @@ def clean_lines(col: Column | str, min_words: int = 3) -> Column:
     published C4 recipe's "three-sentence span" rule family."""
     c = _c(col)
     lines = split_lines(c)
+    # word count ignores empty split fragments (r14): trim strips spaces
+    # only, so a line starting with a tab counted a phantom '' word and
+    # could clear min_words one real word short (both engines agreed —
+    # the tokens() find, applied at the line level)
     is_keepable = lambda l: (F.length(F.trim(l)) > 0) & (  # noqa: E731
-        F.size(F.split(F.trim(l), r"\s+")) >= min_words
+        F.size(
+            F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != F.lit(""))
+        )
+        >= min_words
     )
     kept = F.filter(lines, is_keepable)
     return F.aggregate(

@@ -35,8 +35,11 @@ class TokenizeUDTF:
     def eval(self, text: str | None):  # noqa: D102
         if text is None:
             return
-        stripped = text.strip(" ")
-        if not stripped:
-            return
-        for i, tok in enumerate(_WS.split(stripped)):
+        # filter empty fragments instead of space-stripping (r14): a
+        # space-only strip left re.split to emit a phantom '' token for
+        # text edged with tabs/newlines — the tokens() find, mirrored
+        # here; the SQL twin applies the same list_filter. Positions
+        # number the FILTERED sequence on both sides.
+        toks = [t for t in _WS.split(text) if t]
+        for i, tok in enumerate(toks):
             yield tok, i, _NUM.fullmatch(tok) is not None

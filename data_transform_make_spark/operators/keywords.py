@@ -58,7 +58,10 @@ def tfidf_topk_terms(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select(id_col, "term", "score", "rnk")
+        # long, not int: DuckDB's row_number() is BIGINT — the width
+        # hazard check_queries flagged on tf1 (r14); values were always
+        # equal, the widths now are too
+        .select(id_col, "term", "score", F.col("rnk").cast("long").alias("rnk"))
     )
 
 

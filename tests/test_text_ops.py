@@ -96,16 +96,15 @@ class TestTokenShingleProperties:
 
     @staticmethod
     def _py_tokens(text):
-        # tokens() is SQL-idiomatic null-in-null-out (NULL, not []) —
-        # downstream explodes drop it; shingles() adds the explicit guard
+        # r14 convention: NULL -> [] (matching every SQL twin's CASE
+        # arm) and empty fragments filtered after the split, so
+        # tab/newline-edged text carries no phantom '' tokens
+        # (tools/r14_blindspot.py; tokens() docstring)
         if text is None:
-            return None
-        t = text.strip().lower()
-        if not t:
             return []
         import re
 
-        return re.split(r"\s+", t)
+        return [w for w in re.split(r"\s+", text.lower()) if w]
 
     @staticmethod
     def _py_shingles(text, n=3):

@@ -48,19 +48,25 @@ DIVERGE = [
 
 
 def _both(spark, text):
+    # the SHIPPED r14 convention on both sides: normalize-then-trim
+    # fingerprints, empty-filtered token arrays (functions/text.py)
+    from data_transform_make_spark.functions.text import (
+        doc_fingerprint,
+        tokens,
+    )
+
     row = (
         spark.range(1)
         .select(
-            F.md5(
-                F.regexp_replace(F.trim(F.lower(F.lit(text))), r"\s+", " ")
-            ).alias("fp"),
-            F.split(F.trim(F.lower(F.lit(text))), r"\s+").alias("toks"),
+            doc_fingerprint(F.lit(text)).alias("fp"),
+            tokens(F.lit(text)).alias("toks"),
         )
         .collect()[0]
     )
     d = duckdb.sql(
-        "SELECT md5(regexp_replace(trim(lower(?)), '\\s+', ' ', 'g')),"
-        " regexp_split_to_array(trim(lower(?)), '\\s+')",
+        "SELECT md5(trim(regexp_replace(lower(?), '\\s+', ' ', 'g'))),"
+        " list_filter(regexp_split_to_array(trim(lower(coalesce(?, ''))),"
+        " '\\s+'), zz -> zz <> '')",
         params=[text, text],
     ).fetchone()
     return (row["fp"], row["toks"]), (d[0], d[1])

@@ -1,0 +1,271 @@
+"""Round-14 fixture-blind-spot sweep (r13 verdict directive 5).
+
+The r13 round's best finds (money float ties, the Unicode oracle
+boundary) were value classes the fixture never exercises. This tool
+sweeps the remaining cross-engine conventions with adversarial values —
+NaN/Inf through the money and stats folds, empty/NULL/whitespace-edged
+documents through the text ops, zero/empty/non-finite vectors through
+the similarity ops, boundary ids through mulhash32 — and prints one
+verdict line per convention. Every verdict is asserted, so a silent
+shift in either engine fails the run loudly. Dispositions live in
+SCALE.md ("Round-14 blind-spot sweep"); reachable divergences found by
+this sweep were FIXED in-round (the tokenize phantom-token/NULL classes
+— see functions/text.py tokens()/doc_fingerprint docstrings).
+
+Run: python tools/r14_blindspot.py   (~1 min, local session)
+"""
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+VERDICTS = []
+
+
+def verdict(name: str, status: str, detail: str) -> None:
+    VERDICTS.append((name, status, detail))
+    print(f"{name}: {status} — {detail}")
+
+
+def _is_nan(x) -> bool:
+    return isinstance(x, float) and math.isnan(x)
+
+
+def sweep_money(con) -> None:
+    from data_transform_make_spark.functions.money import money_round_units
+
+    # non-finite: refused loudly (r14 guard) — silently casting NaN/Inf
+    # to int64 yields int64-min garbage on numpy
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        try:
+            money_round_units(pd.Series([1.0, bad]), 100)
+            raise AssertionError(f"money fold accepted {bad}")
+        except ValueError:
+            pass
+    # both signs, exact ties: equal to DuckDB round() on DOUBLE
+    vals = [-2.5, -1.005, -0.005, -0.0, 0.0, 0.005, 1.005, 2.5]
+    eng = money_round_units(pd.Series(vals), 100).tolist()
+    ora = [
+        con.execute(
+            f"SELECT CAST(round(CAST({v!r} AS DOUBLE) * 100) AS BIGINT)"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert eng == ora, (eng, ora)
+    verdict(
+        "money_fold",
+        "GUARDED+AGREE",
+        "NaN/Inf refused loudly; both-sign ties equal DuckDB round()",
+    )
+
+
+def sweep_stats_folds(spark, con) -> None:
+    # mo1's cast(double AS long) moment path: LOUD on both engines for
+    # non-finite input (Spark 4 ANSI CAST_OVERFLOW; DuckDB conversion
+    # error) — no silent-zero class
+    df = spark.createDataFrame([(float("nan"),)], "q double")
+    spark_loud = False
+    try:
+        df.select(F.col("q").cast("long")).collect()
+    except Exception:
+        spark_loud = True
+    duck_loud = False
+    try:
+        con.execute("SELECT CAST(CAST('NaN' AS DOUBLE) AS BIGINT)").fetchone()
+    except Exception:
+        duck_loud = True
+    assert spark_loud and duck_loud, (spark_loud, duck_loud)
+    verdict(
+        "mo1_nonfinite_cast",
+        "AGREE(loud-loud)",
+        "NaN/Inf quantity aborts BOTH engines (ANSI cast / conversion error)",
+    )
+
+    # pc1's percentile with a NaN present: both engines order NaN above
+    # every double, interpolate identically (NaN where NaN is an
+    # interpolation endpoint, real values below it)
+    df2 = spark.createDataFrame([(1.0,), (2.0,), (float("nan"),)], "x double")
+    for p in (0.25, 0.5, 0.75, 0.9):
+        sp = df2.agg(F.percentile("x", p)).collect()[0][0]
+        du = con.execute(
+            f"SELECT quantile_cont(x,{p}) FROM (VALUES (1.0::DOUBLE),"
+            f"(2.0::DOUBLE),('NaN'::DOUBLE)) t(x)"
+        ).fetchone()[0]
+        assert (_is_nan(sp) and _is_nan(du)) or sp == du, (p, sp, du)
+    verdict(
+        "pc1_percentile_nan",
+        "AGREE",
+        "NaN sorts above all doubles in both engines; interpolation matches",
+    )
+
+
+def sweep_vectors(spark, con) -> None:
+    from data_transform_make_spark.functions.vectors import cosine_similarity
+
+    rows = [
+        ([0.0, 0.0], [1.0, 2.0]),  # zero norm
+        ([], []),  # zero-length embedding
+        ([float("nan"), 1.0], [1.0, 2.0]),  # corrupt element
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    got = [r.c for r in df.select(cosine_similarity("a", "b").alias("c")).collect()]
+    assert got == [None, None, None], got
+    # oracle form (the n1/d5 twin expression) on the same values
+    zero = con.execute(
+        "SELECT list_dot_product(CAST([0.0,0.0] AS DOUBLE[]), CAST([1.0,2.0] AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST([0.0,0.0] AS DOUBLE[]), CAST([0.0,0.0] AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST([1.0,2.0] AS DOUBLE[]), CAST([1.0,2.0] AS DOUBLE[]))))"
+    ).fetchone()[0]
+    assert zero is None, zero  # DuckDB float 0/0 -> NULL, same as engine
+    nan_cos = con.execute(
+        "SELECT list_dot_product(CAST(['NaN'::DOUBLE,1.0] AS DOUBLE[]), CAST([1.0,2.0] AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(['NaN'::DOUBLE,1.0] AS DOUBLE[]), CAST(['NaN'::DOUBLE,1.0] AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST([1.0,2.0] AS DOUBLE[]), CAST([1.0,2.0] AS DOUBLE[]))))"
+    ).fetchone()[0]
+    assert _is_nan(nan_cos), nan_cos
+    verdict(
+        "vector_cosine",
+        "AGREE(zero/empty)+DOC(NaN)",
+        "zero-norm and empty vectors are NULL on BOTH engines; a NaN "
+        "ELEMENT is NULL engine-side (ranks last, the r10/r11 contract) "
+        "but NaN in the raw oracle expression (would rank FIRST under "
+        "DESC) — a documented test-harness boundary like the Unicode "
+        "classes, not an engine defect; no fixture vector is non-finite",
+    )
+
+
+def sweep_mulhash(spark, con) -> None:
+    from data_transform_make_spark.corpus import _duck_mulhash32
+    from data_transform_make_spark.plans.training_corpus import (
+        SPLIT_MULT,
+        mulhash32,
+    )
+
+    ids = [
+        -(2**63),
+        -(2**32) - 1,
+        -(2**32),
+        -1,
+        0,
+        1,
+        2**31,
+        2**32 - 1,
+        2**32,
+        2**32 + 7,
+        2**48 + 12345,
+        2**63 - 1,
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    eng = [
+        r.h
+        for r in df.select(mulhash32("doc_id", SPLIT_MULT).alias("h"))
+        .orderBy("doc_id")
+        .collect()
+    ]
+    expr = _duck_mulhash32("doc_id", SPLIT_MULT)
+    ora = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {expr} FROM (SELECT unnest(?) AS doc_id) ORDER BY doc_id",
+            [sorted(ids)],
+        ).fetchall()
+    ]
+    assert eng == ora, list(zip(sorted(ids), eng, ora))
+    # ... and the pure-python reference: (id mod 2^32) * mult mod 2^32
+    ref = [((i % 2**32) * SPLIT_MULT) % 2**32 for i in sorted(ids)]
+    assert eng == ref, list(zip(sorted(ids), eng, ref))
+    verdict(
+        "mulhash32_boundary_ids",
+        "AGREE",
+        "engine, SQL twin and the exact-integer reference are equal at "
+        "int64 extremes, negatives, and the 2^32 wrap boundary",
+    )
+
+
+def sweep_tokenize(spark, con) -> None:
+    from data_transform_make_spark.functions.text import (
+        doc_fingerprint,
+        stopword_ratio,
+        tokens,
+        word_count,
+    )
+
+    # \x0B excluded: Java \s includes it, RE2's does not — the pinned
+    # r13 Unicode boundary class 3 (tests/test_unicode_oracle_boundary)
+    vals = [
+        None,
+        "",
+        " ",
+        "   ",
+        "\t",
+        "\t\n",
+        "\ta b",
+        "a b\n",
+        " a  b ",
+        "\t the quick\nfox ",
+        "\n\nthe a of\t",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = df.select(
+        tokens("t").alias("tk"),
+        word_count("t").alias("wc"),
+        doc_fingerprint("t").alias("fp"),
+        stopword_ratio("t").alias("sr"),
+    ).collect()
+    for v, r in zip(vals, got):
+        du_tk, du_wc, du_fp, du_sr = con.execute(
+            r"""
+            SELECT list_filter(regexp_split_to_array(trim(lower(coalesce(?, ''))), '\s+'),
+                               zz -> zz <> ''),
+                   len(list_filter(regexp_split_to_array(trim(lower(coalesce(?, ''))), '\s+'),
+                                   zz -> zz <> '')),
+                   md5(trim(regexp_replace(lower(?), '\s+', ' ', 'g'))),
+                   CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(coalesce(?, ''))), '\s+'), zz -> zz <> '')) = 0
+                        THEN CAST(0 AS DOUBLE)
+                        ELSE CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(coalesce(?, ''))), '\s+'), zz -> zz <> ''),
+                                                  t -> t IN ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE)
+                             / len(list_filter(regexp_split_to_array(trim(lower(coalesce(?, ''))), '\s+'), zz -> zz <> '')) END
+            """,
+            [v] * 6,
+        ).fetchone()
+        assert list(r.tk) == list(du_tk), (v, r.tk, du_tk)
+        assert r.wc == du_wc, (v, r.wc, du_wc)
+        assert r.fp == du_fp, (v, r.fp, du_fp)
+        assert r.sr == du_sr, (v, r.sr, du_sr)
+    verdict(
+        "tokenize_convention",
+        "AGREE(post-fix)",
+        "tokens/word_count/doc_fingerprint/stopword_ratio equal the SQL "
+        "twin convention on NULL, empty, whitespace-only and "
+        "tab/newline-edged text — the phantom-''-token and NULL-vs-[] "
+        "classes found by this sweep are fixed on both sides",
+    )
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    sweep_money(con)
+    sweep_stats_folds(spark, con)
+    sweep_vectors(spark, con)
+    sweep_mulhash(spark, con)
+    sweep_tokenize(spark, con)
+    print(f"OK: {len(VERDICTS)} conventions swept, all verdicts hold")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
