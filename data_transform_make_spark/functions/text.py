@@ -52,7 +52,11 @@ def tokens(col: Column | str) -> Column:
     ``list_filter(regexp_split_to_array(...), zz -> zz <> '')``.
     """
     t = F.split(F.trim(F.lower(F.coalesce(_c(col), F.lit("")))), r"\s+")
-    return F.filter(t, lambda x: x != F.lit(""))
+    # array_remove, not a filter() HOF: same result (split yields no NULL
+    # elements), but codegen'd instead of an interpreted lambda —
+    # identity-asserted interleaved A/B on the explode+groupBy shape at
+    # sf0.1: 0.386 -> 0.335 s min-of-3 (r14)
+    return F.array_remove(t, "")
 
 
 def word_count(col: Column | str) -> Column:
@@ -237,10 +241,7 @@ def clean_lines(col: Column | str, min_words: int = 3) -> Column:
     # could clear min_words one real word short (both engines agreed —
     # the tokens() find, applied at the line level)
     is_keepable = lambda l: (F.length(F.trim(l)) > 0) & (  # noqa: E731
-        F.size(
-            F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != F.lit(""))
-        )
-        >= min_words
+        F.size(F.array_remove(F.split(F.trim(l), r"\s+"), "")) >= min_words
     )
     kept = F.filter(lines, is_keepable)
     return F.aggregate(
