@@ -45,3 +45,11 @@ def test_mulhash_boundary_battery(spark, con):
 
 def test_tokenize_battery(spark, con):
     sweep.sweep_tokenize(spark, con)
+
+
+def test_json_battery(spark, con):
+    sweep.sweep_json(spark, con)
+
+
+def test_datetime_battery(spark, con):
+    sweep.sweep_datetime(spark, con)

@@ -250,6 +250,132 @@ def sweep_tokenize(spark, con) -> None:
     )
 
 
+def sweep_json(spark, con) -> None:
+    # x1's convention: get_json_object / json_extract_string + BIGINT cast
+    agree_cases = [
+        ('{"k": 1}', "1", 1),
+        ('{"k": 1, "k": 2}', "1", 1),  # duplicate keys: FIRST wins, both
+        ('{"k": 9223372036854775807}', "9223372036854775807", 2**63 - 1),
+        ('{"k": "12"}', "12", 12),
+        ('{"k": null}', None, None),
+        ('{"K": 1}', None, None),  # key lookup is case-sensitive, both
+        ('{"a": {"k": 9}}', None, None),  # $.k is top-level only, both
+        ('{"k": "\\u0041"}', "A", None),  # unicode escape decoded, both
+    ]
+    for payload, want_s, want_l in agree_cases:
+        df = spark.createDataFrame([(payload,)], "props string")
+        s = df.select(F.get_json_object("props", "$.k").alias("v")).collect()[0].v
+        d = con.execute(
+            "SELECT json_extract_string(?, '$.k')", [payload]
+        ).fetchone()[0]
+        assert s == d == want_s, (payload, s, d, want_s)
+        if want_l is not None:
+            sl = df.select(
+                F.get_json_object("props", "$.k").cast("long").alias("v")
+            ).collect()[0].v
+            dl = con.execute(
+                "SELECT CAST(json_extract_string(?, '$.k') AS BIGINT)", [payload]
+            ).fetchone()[0]
+            assert sl == dl == want_l, (payload, sl, dl, want_l)
+    # int64 overflow in the cast: LOUD on both engines
+    for engine_fn in ("spark", "duck"):
+        loud = False
+        try:
+            if engine_fn == "spark":
+                spark.createDataFrame(
+                    [('{"k": 9223372036854775808}',)], "props string"
+                ).select(
+                    F.get_json_object("props", "$.k").cast("long")
+                ).collect()
+            else:
+                con.execute(
+                    "SELECT CAST(json_extract_string('{\"k\": 9223372036854775808}',"
+                    " '$.k') AS BIGINT)"
+                ).fetchone()
+        except Exception:
+            loud = True
+        assert loud, engine_fn
+    # DOCUMENTED boundary (not fixed — the ingest path is the engine's
+    # sanitizer, exactly as S2 is for whitespace): malformed/truncated/
+    # empty JSON is silent-NULL on Spark, a loud Conversion Error on
+    # DuckDB; a float-form int ('1e3' -> '1000.0') is a LOUD ANSI cast
+    # on Spark, silent 1000 on DuckDB.
+    for bad in ('{k: 1}', '{"k": 1', ""):
+        df = spark.createDataFrame([(bad,)], "props string")
+        s = df.select(F.get_json_object("props", "$.k").alias("v")).collect()[0].v
+        assert s is None, (bad, s)
+        duck_loud = False
+        try:
+            con.execute("SELECT json_extract_string(?, '$.k')", [bad]).fetchone()
+        except Exception:
+            duck_loud = True
+        assert duck_loud, bad
+    verdict(
+        "json_extraction",
+        "AGREE(valid)+DOC(malformed)",
+        "duplicate keys (first wins), case-sensitive paths, overflow "
+        "(loud-loud) and unicode escapes agree on valid JSON; malformed "
+        "JSON is silent-NULL Spark vs loud DuckDB and float-form ints "
+        "loud Spark vs silent DuckDB — documented harness boundary, the "
+        "ingest dead-letter path (S4/i1) is the engine's sanitizer",
+    )
+
+
+def sweep_datetime(spark, con) -> None:
+    import datetime
+
+    cases = [
+        "1900-01-01 00:00:00.000001",
+        "1969-07-20 20:17:40.123456",
+        "1969-12-31 23:30:00",
+        "1969-12-31 23:59:59.999999",
+        "1970-01-01 00:00:00",
+        "2026-08-15 13:59:59.999999",
+    ]
+    df = spark.createDataFrame(
+        [(datetime.datetime.fromisoformat(t),) for t in cases], "ts timestamp"
+    )
+    rows = (
+        df.select(
+            "ts",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.col("ts").cast("long").alias("c"),
+            F.unix_timestamp("ts").alias("u"),
+            F.window("ts", "1 hour").alias("w"),  # tumbling: no fan-out
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    saw_unix_divergence = False
+    for t, r in zip(cases, rows):
+        dh, de, dw = con.execute(
+            "SELECT date_trunc('hour', CAST(? AS TIMESTAMP)),"
+            " CAST(floor(epoch(CAST(? AS TIMESTAMP))) AS BIGINT),"
+            " time_bucket(INTERVAL '1 hour', CAST(? AS TIMESTAMP))",
+            [t, t, t],
+        ).fetchone()
+        assert str(r.h) == str(dh), (t, r.h, dh)  # trunc agrees pre-1970
+        assert str(r.w.start) == str(dw), (t, r.w.start, dw)  # window too
+        assert r.c == de, (t, r.c, de)  # cast(ts as long) FLOORS, agrees
+        if r.u != de:
+            saw_unix_divergence = True
+    # the trap, pinned in the divergent direction: unix_timestamp
+    # truncates toward zero, so it disagrees with floor(epoch()) on
+    # every pre-1970 fractional timestamp — if an engine upgrade makes
+    # these agree, the note below overstates the hazard
+    assert saw_unix_divergence
+    verdict(
+        "datetime_conventions",
+        "AGREE(cast/trunc/window)+TRAP(unix_timestamp)",
+        "date_trunc, tumbling window alignment and cast-to-long epoch "
+        "seconds agree with DuckDB on pre-1970, epoch-boundary and "
+        "fractional timestamps (cast FLOORS like floor(epoch())); "
+        "unix_timestamp truncates toward zero and would diverge on "
+        "every pre-1970 fractional ts — the engine never uses it "
+        "(sessionize and every gap computation use the cast form)",
+    )
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[4]")
@@ -263,6 +389,8 @@ def main() -> None:
     sweep_vectors(spark, con)
     sweep_mulhash(spark, con)
     sweep_tokenize(spark, con)
+    sweep_json(spark, con)
+    sweep_datetime(spark, con)
     print(f"OK: {len(VERDICTS)} conventions swept, all verdicts hold")
     spark.stop()
 
