@@ -751,6 +751,7 @@ def ta4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 1], ' ')
                          FOR i IN generate_series(1, GREATEST(len(t) - 1, 1))]) AS u(sh)
+      WHERE len(t) > 0  -- a no-token doc must emit NO shingle (engine shingles() k>0 guard; r14)
     ), counts AS (
       SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY 1, 2
     )
@@ -972,7 +973,12 @@ def samp1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(lines) AS INTEGER) AS n_lines,
            CAST(len(dedup) AS INTEGER) AS n_kept,
-           md5(array_to_string(dedup, chr(10))) AS clean_md5
+           -- coalesce: DuckDB array_to_string([]) is NULL while Spark
+           -- array_join([]) is '' — an all-lines-dropped doc must hash
+           -- the EMPTY string on both engines (adversarial sim, r14)
+           CASE WHEN dedup IS NULL THEN NULL
+                ELSE md5(coalesce(array_to_string(dedup, chr(10)), '')) END
+             AS clean_md5
     FROM d
     """,
 )
@@ -1555,6 +1561,7 @@ def unp1_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
                          FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+      WHERE len(t) > 0  -- a no-token doc must emit NO shingle (engine shingles() k>0 guard; r14)
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (
@@ -1591,6 +1598,7 @@ def d2_ngram_jaccard(
       SELECT DISTINCT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
                          FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+      WHERE len(t) > 0  -- a no-token doc must emit NO shingle (engine shingles() k>0 guard; r14)
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), hot AS (
@@ -1674,6 +1682,7 @@ def _duck_minhash_md5_sql(
       SELECT DISTINCT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
                          FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+      WHERE len(t) > 0  -- a no-token doc must emit NO shingle (engine shingles() k>0 guard; r14)
     ), sig AS (
       SELECT doc_id,
         {h_aggs}
@@ -2506,7 +2515,10 @@ def mm2_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            CAST(LEAST(4, GREATEST(1, octet_length(encode(text)) // 64)) AS BIGINT)
              AS n_frames
-    FROM documents
+    -- NULL payloads yield NO frames (the kernel's skip contract,
+    -- multimodal/columns.py sample_frames) — mirror it, don't emit a
+    -- NULL-count row (adversarial sim, r14)
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3475,6 +3487,7 @@ def sql1_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
                          FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+      WHERE len(t) > 0  -- a no-token doc must emit NO shingle (engine shingles() k>0 guard; r14)
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (
@@ -3578,6 +3591,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
                          FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+      WHERE len(t) > 0  -- a no-token doc must emit NO shingle (engine shingles() k>0 guard; r14)
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (
@@ -3631,6 +3645,7 @@ def dc1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
                          FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+      WHERE len(t) > 0  -- a no-token doc must emit NO shingle (engine shingles() k>0 guard; r14)
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), hot AS (
@@ -3694,6 +3709,7 @@ def dc2_dedup_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, split, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
                          FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+      WHERE len(t) > 0  -- a no-token doc must emit NO shingle (engine shingles() k>0 guard; r14)
     ), ev AS (
       SELECT DISTINCT sh FROM sh WHERE split = 'eval'
     ), tr AS (
@@ -3756,6 +3772,7 @@ def ch1_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
                          FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+      WHERE len(t) > 0  -- a no-token doc must emit NO shingle (engine shingles() k>0 guard; r14)
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (
@@ -3876,6 +3893,7 @@ def w8_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
                          FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+      WHERE len(t) > 0  -- a no-token doc must emit NO shingle (engine shingles() k>0 guard; r14)
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (
@@ -3952,6 +3970,7 @@ def ll2_training_corpus_clustered(spark: SparkSession, sf_dir: str, eager: bool 
       SELECT DISTINCT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
                          FOR i IN generate_series(1, GREATEST(len(t) - 2, 1))]) AS u(sh)
+      WHERE len(t) > 0  -- a no-token doc must emit NO shingle (engine shingles() k>0 guard; r14)
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), hot AS (

@@ -1,0 +1,143 @@
+"""Driver-sim on a HOSTILE documents fixture (round 14).
+
+The r14 blind-spot sweep proved the tokenize conventions agree on
+adversarial VALUES; this closes the loop at the QUERY level: the sf0.001
+fixture with adversarial documents appended — NULL text, empty text,
+space-only, tab-only, newline-edged, leading/trailing-tab, a whitespace
+dup pair that must now fingerprint equal, and a doc whose only content
+sits between tabs — then every oracle-twinned ``queries()`` entry runs
+through BOTH engines on the same parquet and must match exactly, the
+driver's own comparison. This is the test that would have caught the
+phantom-''-shingle divergence the hand sweep found in the GREATEST(...)
+oracle CTEs (fixed in-round: ``WHERE len(t) > 0`` in all 11).
+
+Non-documents tables are symlinked, so the non-text queries double as a
+no-regression control. Run: python tools/adversarial_sim.py (~3 min).
+A documents-family subset runs per-suite in
+tests/test_adversarial_fixture.py.
+"""
+
+import math
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = "/root/testdata/sf0.001"
+
+# (doc_id, text, lang, source, n_chars): ids continue past the fixture's
+ADVERSARIAL_DOCS = [
+    (100001, None, "en", "advers", 0),
+    (100002, "", "en", "advers", 0),
+    (100003, "   ", "en", "advers", 3),
+    (100004, "\t", "en", "advers", 1),
+    (100005, "\t\n", "en", "advers", 2),
+    (100006, "\tthe quick fox jumps over the lazy dog again", "en", "advers", 44),
+    (100007, "the quick fox jumps over the lazy dog again\n", "en", "advers", 44),
+    # whitespace dup pair: same words, different edge/interior whitespace —
+    # the r14 fingerprint must treat them as EXACT duplicates
+    (100008, "alpha beta gamma delta words enough for shingles here", "en", "advers", 53),
+    (100009, "\talpha  beta\ngamma delta words enough for shingles here\n", "en", "advers", 56),
+    (100010, "only\ttabs\tbetween\twords\there\tnow", "en", "advers", 32),
+]
+
+
+def build_fixture(spark) -> str:
+    workdir = tempfile.mkdtemp(prefix="sgraft_advers_")
+    dst = os.path.join(workdir, "sf_advers")
+    os.makedirs(dst)
+    for entry in os.listdir(BASE_SF):
+        if entry == "documents.parquet":
+            base = spark.read.parquet(os.path.join(BASE_SF, entry))
+            extra = spark.createDataFrame(
+                ADVERSARIAL_DOCS,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+            base.unionByName(extra).coalesce(2).write.parquet(
+                os.path.join(dst, entry)
+            )
+        else:
+            os.symlink(os.path.join(BASE_SF, entry), os.path.join(dst, entry))
+    return dst
+
+
+def norm(v):
+    import decimal
+
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def run(names=None) -> list:
+    """Run the named queries (default: every oracle-twinned one) on the
+    hostile fixture through both engines; return the list of failures."""
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from data_transform_make_spark import corpus
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("adversarial-sim")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = build_fixture(spark)
+    try:
+        con = duckdb.connect()
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            p = f"{sf}/{t}.parquet"
+            # Spark writes datasets as DIRECTORIES; the symlinked
+            # originals are single files — glob accordingly
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        qs, oracles = corpus.queries(), corpus.oracle_sql()
+        todo = names or sorted(n for n in qs if n in oracles)
+        fails = []
+        for name in todo:
+            try:
+                sdf = qs[name](spark, sf)
+                srows = sorted(
+                    (tuple(norm(v) for v in r) for r in sdf.collect()), key=repr
+                )
+                scols = [c.lower() for c in sdf.columns]
+                res = con.execute(oracles[name])
+                dcols = [d[0].lower() for d in res.description]
+                drows = sorted(
+                    (tuple(norm(v) for v in r) for r in res.fetchall()), key=repr
+                )
+                ok = scols == dcols and srows == drows
+                if not ok:
+                    fails.append(name)
+                    diff = [(x, y) for x, y in zip(srows, drows) if x != y][:2]
+                    print(
+                        f"{name}: MISMATCH rows {len(srows)} vs {len(drows)}"
+                        f" cols {scols} vs {dcols} first-diffs {diff}"
+                    )
+                else:
+                    print(f"{name}: MATCH rows={len(srows)}")
+            except Exception as e:
+                fails.append(name)
+                print(f"{name}: ERROR {str(e)[:200]}")
+        return fails
+    finally:
+        shutil.rmtree(os.path.dirname(sf), ignore_errors=True)
+        if names is None:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    fails = run()
+    print("FAILS:", fails if fails else "none")
+    sys.exit(1 if fails else 0)
