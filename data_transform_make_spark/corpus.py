@@ -322,8 +322,10 @@ def a3_insufficient_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT user_id, event_type,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts NULLS FIRST, event_id)
                AS prev_type
+      -- NULLS FIRST mirrors Spark's default NULL placement (r14)
       FROM events
     )
     SELECT prev_type, event_type AS curr_type, count(*) AS n
@@ -456,7 +458,9 @@ def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        IS NULL
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      -- NULL event times are dropped by the event-time family contract
+      -- (operators/windows.py sessionize, r14)
+      FROM events WHERE ts IS NOT NULL
     ), s AS (
       SELECT user_id,
              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1461,7 +1465,8 @@ def diff1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                + CASE WHEN extract(minute FROM ts) >= 30
                       THEN INTERVAL '30' MINUTE
                       ELSE INTERVAL '0' MINUTE END AS s0
-      FROM events
+      -- NULL event times are dropped (event-time family contract, r14)
+      FROM events WHERE ts IS NOT NULL
     ), x AS (
       SELECT event_type, event_id, s0 AS ws FROM e
       UNION ALL
@@ -1806,7 +1811,10 @@ def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    -- NULL vectors never pair (engine NULL-cosine contract; guards the
+    -- DuckDB vectorized NULL-list rejection — r14)
+    WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+      AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
           >= 0.9
@@ -1969,7 +1977,12 @@ def d5d_embedding_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "n1_topk_cosine",
     """
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    -- embedding IS NOT NULL: the engine's NULL-cosine contract ranks a
+    -- NULL vector last (it can never enter the top-k of a real corpus);
+    -- DuckDB's vectorized list_inner_product rejects NULL lists loudly
+    -- instead (hostile-fixture sim, r14)
     SELECT vec_id FROM embeddings, q
+    WHERE embedding IS NOT NULL
     ORDER BY list_dot_product(embedding::DOUBLE[], qv)
              / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                 * sqrt(list_dot_product(qv, qv))) DESC,
@@ -2282,7 +2295,9 @@ def w5_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
            event_type, count(*) AS n
-    FROM events GROUP BY 1, 2
+    -- watermarks cannot admit NULL event times; the streaming window
+    -- drops such rows (event-time family contract, r14)
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def st1_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2303,7 +2318,8 @@ def st1_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                + CASE WHEN extract(minute FROM ts) >= 30
                       THEN INTERVAL '30' MINUTE
                       ELSE INTERVAL '0' MINUTE END AS s0
-      FROM events
+      -- NULL event times are dropped (event-time family contract, r14)
+      FROM events WHERE ts IS NOT NULL
     ), x AS (
       SELECT event_type, s0 AS ws FROM e
       UNION ALL
@@ -2409,7 +2425,8 @@ def st7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS is_new
-      FROM events
+      -- NULL event times are dropped (event-time family contract, r14)
+      FROM events WHERE ts IS NOT NULL
     ), s AS (
       SELECT user_id, ts,
              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -2448,8 +2465,10 @@ def st5_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN kind = 'ok'
                          THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
                     END) AS BIGINT) AS k_sum
+    -- coalesce: a NULL props row synthesizes a NULL raw body == ABSENT
+    -- body, which takes the S3 '{}' default and PARSES (r14)
     FROM raw WHERE kind <> 'bad'
-      AND NOT (kind = 'ok' AND strlen(props) > 5242880)
+      AND NOT (kind = 'ok' AND coalesce(strlen(props), 0) > 5242880)
     UNION ALL
     SELECT 'invalid_json' AS leg, count(*) AS n, CAST(NULL AS BIGINT) AS k_sum
     FROM raw WHERE kind = 'bad'
@@ -2643,8 +2662,10 @@ def mm4b_resize_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN kind = 'ok'
                          THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
                     END) AS BIGINT) AS k_sum
+    -- coalesce: a NULL props row synthesizes a NULL raw body == ABSENT
+    -- body, which takes the S3 '{}' default and PARSES (r14)
     FROM raw WHERE kind <> 'bad'
-      AND NOT (kind = 'ok' AND strlen(props) > 5242880)
+      AND NOT (kind = 'ok' AND coalesce(strlen(props), 0) > 5242880)
     UNION ALL
     SELECT 'invalid_json' AS leg, count(*) AS n, CAST(NULL AS BIGINT) AS k_sum
     FROM raw WHERE kind = 'bad'
@@ -2981,7 +3002,10 @@ def pu1_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(lag(event_type) OVER w, 'none') AS prev_type,
            lead(event_type) OVER w AS next_type
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    -- NULLS FIRST: Spark's default asc NULL placement; DuckDB defaults
+    -- to NULLS LAST, which reverses every lag/lead around a NULL-ts row
+    -- (hostile-fixture sim, r14)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     """,
 )
 def w6_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3224,7 +3248,8 @@ def sp1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg1_ordered_collect",
     """
     SELECT user_id,
-           string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq,
+           -- NULLS FIRST mirrors Spark struct sort (NULL fields smallest)
+           string_agg(event_type, ',' ORDER BY ts NULLS FIRST, event_id) AS type_seq,
            count(*) AS n_events
     FROM events GROUP BY user_id
     """,

@@ -79,6 +79,17 @@ def sessionize(
     lag + conditional cumsum — the batch twin of streaming
     ``session_window``; one shuffle on the key.
     Adds ``session_id`` (1-based per key).
+
+    NULL-``ts`` rows are DROPPED (r14): an event without an event time
+    has no position in any session, and the streaming twin is forced to
+    the same semantics (a watermark cannot admit a NULL event time —
+    ``session_window`` drops such rows). Keeping them would also leave
+    their placement engine-defined: Spark orders NULL first in the
+    window, DuckDB last, so the lag chains — and every session id after
+    the NULL — would silently diverge between the engine and any SQL
+    restatement. The batch/streaming/SQL triple agrees only under the
+    drop contract; pinned by the hostile-fixture sim
+    (tools/adversarial_sim.py).
     """
     if gap_seconds < 0:
         # gap is always >= 0 (the window is time-ordered), so a negative
@@ -88,6 +99,7 @@ def sessionize(
         raise ValueError(
             f"sessionize: gap_seconds must be >= 0, got {gap_seconds!r}"
         )
+    df = df.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col))
     gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0))

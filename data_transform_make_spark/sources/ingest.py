@@ -46,9 +46,15 @@ _JS_WS_CLASS = (
 
 def _sanitize_expr(c):
     """Column-level NUL-strip + JS-trim + empty->'{}' (server.js:25,27-30);
-    the expression form so callers can gate it under a ``when`` branch."""
+    the expression form so callers can gate it under a ``when`` branch.
+
+    NULL body == ABSENT body (r14): ``express.text()`` hands the handler
+    ``''`` when no body arrives, so NULL takes the same S3 empty-default
+    path to ``'{}'`` — previously NULL propagated through the regexes and
+    dead-lettered as invalid_json, a semantics the reference can never
+    exhibit (hostile-fixture sim)."""
     cleaned = F.regexp_replace(
-        F.regexp_replace(c, "\\x00", ""),
+        F.regexp_replace(F.coalesce(c, F.lit("")), "\\x00", ""),
         f"^{_JS_WS_CLASS}+|{_JS_WS_CLASS}+$",
         "",
     )
@@ -97,7 +103,12 @@ def ingest_with_reason(
     claim_scratch(
         df, "ingest_with_reason", "__oversize", "__rec", "record", "reject_reason"
     )
-    oversize_raw = F.octet_length(F.col(body_col)) > MAX_BODY_BYTES
+    # coalesce: octet_length(NULL) is NULL, and a NULL flag would skip
+    # BOTH when-branches downstream (the ~NULL parse gate), silently
+    # dead-lettering an absent body instead of taking the S3 '{}' path
+    oversize_raw = F.coalesce(
+        F.octet_length(F.col(body_col)) > MAX_BODY_BYTES, F.lit(False)
+    )
     staged = df.withColumn("__oversize", oversize_raw)
     # ADVICE r8: an oversize row's reject reason is already decided, so it
     # skips the sanitize regexp pair and the from_json entirely (CaseWhen

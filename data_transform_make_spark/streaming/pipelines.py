@@ -31,14 +31,24 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the nanos ts column is normalized identically)."""
     # pin conf (nanosAsLong etc.) by going through the batch loader once
     load_table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file stream source needs a directory; glob-filter to the one table
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    import os
+
+    if os.path.isdir(path):
+        # a Spark-written DATASET directory loads directly (the hostile
+        # and split-layout fixtures; r14 — the glob form below matches
+        # leaf FILES only and would silently stream zero rows here)
+        stream = spark.readStream.schema(raw_schema).format("parquet").load(path)
+    else:
+        # a single FILE needs the glob: the file stream source insists
+        # its base path is a directory
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

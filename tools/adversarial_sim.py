@@ -43,17 +43,65 @@ ADVERSARIAL_DOCS = [
     (100010, "only\ttabs\tbetween\twords\there\tnow", "en", "advers", 32),
 ]
 
+# (event_id, ts, user_id, event_type, value, props). NULL event time,
+# NULL user, NULL type, NULL props, and a NEGATIVE exact money tie
+# (-12.005 * 100 == -1200.5 exactly — the r14 sign-aware fold class).
+# Deliberately EXCLUDED, each a documented harness boundary (SCALE.md
+# r14): malformed props (DuckDB json errors loudly where Spark nulls)
+# and NULL/NaN money (Arrow float transport conflates them; the money
+# folds refuse both loudly where SQL SUM skips NULL).
+ADVERSARIAL_EVENTS = [
+    (200001, None, 5, "click", 1.0, '{"k": 1}'),
+    (200002, "2024-01-02 10:00:00", None, "click", 1.0, '{"k": 2}'),
+    (200003, "2024-01-02 10:05:00", 5, None, 1.0, '{"k": 3}'),
+    (200004, "2024-01-02 10:10:00", 5, "click", 1.0, None),
+    (200005, "2024-01-02 10:15:00", 5, "purchase", -12.005, '{"k": 4}'),
+]
+
+# (vec_id, embedding FLOAT[], label): zero-norm and NULL vectors (the
+# engine's NULL-cosine contract; both rank last / never pair).
+# Mismatched-LENGTH vectors are EXCLUDED: the engine yields NULL (the
+# zip_with pad contract) while DuckDB's list_dot_product errors loudly
+# — a documented harness boundary, not an engine defect.
+ADVERSARIAL_EMBEDDINGS = [
+    (200101, [0.0] * 64, 0),
+    (200102, None, 0),
+]
+
 
 def build_fixture(spark) -> str:
     workdir = tempfile.mkdtemp(prefix="sgraft_advers_")
     dst = os.path.join(workdir, "sf_advers")
     os.makedirs(dst)
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    extras = {
+        "documents.parquet": spark.createDataFrame(
+            ADVERSARIAL_DOCS,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ),
+        "events.parquet": spark.createDataFrame(
+            [
+                (i, datetime.datetime.fromisoformat(t) if t else None, u, et, v, p)
+                for i, t, u, et, v, p in ADVERSARIAL_EVENTS
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ),
+        "embeddings.parquet": spark.createDataFrame(
+            ADVERSARIAL_EMBEDDINGS, "vec_id long, embedding array<float>, label int"
+        ),
+    }
     for entry in os.listdir(BASE_SF):
-        if entry == "documents.parquet":
+        if entry in extras:
             base = spark.read.parquet(os.path.join(BASE_SF, entry))
-            extra = spark.createDataFrame(
-                ADVERSARIAL_DOCS,
-                "doc_id long, text string, lang string, source string, n_chars long",
+            # align nested types exactly (events ts is NANOS in the base
+            # fixture; the rewrite lands as micros, which is what
+            # load_table normalizes to anyway)
+            extra = extras[entry].select(
+                *[F.col(f.name).cast(f.dataType) for f in base.schema.fields]
             )
             base.unionByName(extra).coalesce(2).write.parquet(
                 os.path.join(dst, entry)
