@@ -400,7 +400,10 @@ def x1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_suppkey, l_orderkey, l_linenumber,
            SUM(l_quantity) OVER (PARTITION BY l_suppkey
-                                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                 -- NULLS FIRST: Spark's default asc NULL
+                                 -- placement (hostile-fixture sim, r14)
+                                 ORDER BY l_shipdate NULLS FIRST,
+                                          l_orderkey, l_linenumber
                                  ROWS UNBOUNDED PRECEDING) AS running_qty
     FROM lineitem
     """,
@@ -2797,11 +2800,15 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "j4_semi_anti_join",
     """
-    SELECT c_custkey, TRUE AS has_order FROM customer
-    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    -- EXISTS, not IN: `x NOT IN (set containing NULL)` is NULL, which
+    -- silently DROPS every order-less customer the moment one order has
+    -- a NULL custkey — Spark's left-anti join is null-safe NOT EXISTS
+    -- (hostile-fixture sim, r14)
+    SELECT c_custkey, TRUE AS has_order FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     UNION ALL
-    SELECT c_custkey, FALSE AS has_order FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    SELECT c_custkey, FALSE AS has_order FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
 def j4_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:

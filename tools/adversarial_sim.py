@@ -68,6 +68,24 @@ ADVERSARIAL_EMBEDDINGS = [
     (200102, None, 0),
 ]
 
+# Relational hostility (wave 3): NULL measures, NULL dates, NULL group
+# keys, NULL join keys — never NULL money (l_extendedprice/l_discount
+# feed the Arrow folds: the documented NULL/NaN conflation boundary)
+# and never NULL primary ids (diff1's documented silent-mode gate).
+ADVERSARIAL_LINEITEM = [
+    # (orderkey, partkey, suppkey, linenumber, qty, price, disc, tax,
+    #  returnflag, linestatus, shipdate)
+    (300001, 1, 1, 1, None, 100.0, 0.05, 0.02, None, "O", None),
+]
+ADVERSARIAL_ORDERS = [
+    # (orderkey, custkey, status, totalprice, orderdate, priority)
+    (300001, None, "O", 100.0, None, None),
+]
+ADVERSARIAL_CUSTOMER = [
+    # (custkey, name, nationkey, acctbal, mktsegment)
+    (300001, "hostile customer", None, 0.0, None),
+]
+
 
 def build_fixture(spark) -> str:
     workdir = tempfile.mkdtemp(prefix="sgraft_advers_")
@@ -92,6 +110,24 @@ def build_fixture(spark) -> str:
         ),
         "embeddings.parquet": spark.createDataFrame(
             ADVERSARIAL_EMBEDDINGS, "vec_id long, embedding array<float>, label int"
+        ),
+        "lineitem.parquet": spark.createDataFrame(
+            ADVERSARIAL_LINEITEM,
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber int, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double, l_returnflag string,"
+            " l_linestatus string, l_shipdate timestamp",
+        ),
+        "orders.parquet": spark.createDataFrame(
+            ADVERSARIAL_ORDERS,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        ),
+        "customer.parquet": spark.createDataFrame(
+            ADVERSARIAL_CUSTOMER,
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
         ),
     }
     for entry in os.listdir(BASE_SF):
