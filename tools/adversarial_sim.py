@@ -85,6 +85,13 @@ ADVERSARIAL_CUSTOMER = [
     # (custkey, name, nationkey, acctbal, mktsegment)
     (300001, "hostile customer", None, 0.0, None),
 ]
+# Dimension tables (wave 4): NULL names / group keys / snowflake keys.
+# p_retailprice AND p_size stay non-NULL — both feed ga1's Arrow
+# grouped-agg fold (the NULL/NaN conflation boundary).
+ADVERSARIAL_PART = [(400001, None, None, None, 1, 10.0)]
+ADVERSARIAL_SUPPLIER = [(400001, None, None, 0.0)]
+ADVERSARIAL_NATION = [(400001, None, None)]
+ADVERSARIAL_REGION = [(400001, None)]
 
 
 def build_fixture(spark) -> str:
@@ -128,6 +135,21 @@ def build_fixture(spark) -> str:
             ADVERSARIAL_CUSTOMER,
             "c_custkey long, c_name string, c_nationkey int,"
             " c_acctbal double, c_mktsegment string",
+        ),
+        "part.parquet": spark.createDataFrame(
+            ADVERSARIAL_PART,
+            "p_partkey long, p_name string, p_brand string, p_type string,"
+            " p_size int, p_retailprice double",
+        ),
+        "supplier.parquet": spark.createDataFrame(
+            ADVERSARIAL_SUPPLIER,
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        ),
+        "nation.parquet": spark.createDataFrame(
+            ADVERSARIAL_NATION, "n_nationkey int, n_name string, n_regionkey int"
+        ),
+        "region.parquet": spark.createDataFrame(
+            ADVERSARIAL_REGION, "r_regionkey int, r_name string"
         ),
     }
     for entry in os.listdir(BASE_SF):
