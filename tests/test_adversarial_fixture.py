@@ -21,6 +21,13 @@ sys.path.insert(
 import adversarial_sim  # noqa: E402
 
 SUBSET = [
+    # event-time family: the NULL-ts watermark contract and the NULL-body
+    # ingest path (waves 2-3) — one streaming window + the ingest twin
+    "st1_stream_window_agg",
+    "i1_ingest_dead_letter",
+    "w6_lag_lead",
+    "j4_semi_anti_join",
+    "n1_topk_cosine",
     "bm25_1_query_ranking",
     "ch1_doc_chunks",
     "d1_exact_dedup",
