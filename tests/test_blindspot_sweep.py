@@ -53,3 +53,7 @@ def test_json_battery(spark, con):
 
 def test_datetime_battery(spark, con):
     sweep.sweep_datetime(spark, con)
+
+
+def test_pii_regex_battery(spark, con):
+    sweep.sweep_pii_regex(spark, con)

@@ -25,7 +25,9 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BASE_SF = "/root/testdata/sf0.001"
+# ADVERS_SF overrides the base fixture (default sf0.001; sf0.01 for a
+# deeper pass — the adversarial rows are the same either way)
+BASE_SF = os.environ.get("ADVERS_SF", "/root/testdata/sf0.001")
 
 # (doc_id, text, lang, source, n_chars): ids continue past the fixture's
 ADVERSARIAL_DOCS = [

@@ -376,6 +376,40 @@ def sweep_datetime(spark, con) -> None:
     )
 
 
+def sweep_pii_regex(spark, con) -> None:
+    # pii1's patterns were CHOSEN boundary-free (plain classes, bounded
+    # repetition — no \b, whose Java form is Unicode-aware vs RE2's
+    # ASCII one, and no lookaround). Verify the choice holds beyond the
+    # ASCII fixture: Unicode-adjacent emails/phones (combining marks,
+    # full-width digits and @, Arabic-Indic digits, ZWSP) count the
+    # same under Java regex and RE2.
+    from data_transform_make_spark.functions.text import EMAIL_RE, PHONE_RE
+
+    cases = [
+        "a@b.co", "ä@b.co", "a@b.co​", "٣٣٣-٣٣٣-٣٣٣٣",
+        "555-123-4567", "x５５５-555-5555", "mail＠b.co", "a@b.c̈o",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    rows = df.select(
+        F.regexp_count("t", F.lit(EMAIL_RE)).alias("e"),
+        F.regexp_count("t", F.lit(PHONE_RE)).alias("p"),
+    ).collect()
+    for c, r in zip(cases, rows):
+        de, dp = con.execute(
+            "SELECT len(regexp_extract_all(?, ?)), len(regexp_extract_all(?, ?))",
+            [c, EMAIL_RE, c, PHONE_RE],
+        ).fetchone()
+        assert (r.e, r.p) == (de, dp), (c, (r.e, r.p), (de, dp))
+    verdict(
+        "pii_regex",
+        "AGREE",
+        "the deliberately boundary-free PII patterns count identically "
+        "under Java regex and RE2 on Unicode-adjacent text (combining "
+        "marks, full/Arabic-width digits, ZWSP) — \\d stays ASCII on "
+        "both engines",
+    )
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[4]")
@@ -391,6 +425,7 @@ def main() -> None:
     sweep_tokenize(spark, con)
     sweep_json(spark, con)
     sweep_datetime(spark, con)
+    sweep_pii_regex(spark, con)
     print(f"OK: {len(VERDICTS)} conventions swept, all verdicts hold")
     spark.stop()
 
