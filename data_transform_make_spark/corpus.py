@@ -13,6 +13,28 @@ insensitive value hash):
   * ratios: integer-derived double division only (exact IEEE, same operands
     -> same bits);
   * window orders: always totally ordered (explicit tie-break columns).
+
+Hostile-input contracts (round 14 — each asserted by
+tools/adversarial_sim.py on NULL-bearing variants of every table, and
+by the convention batteries in tools/r14_blindspot.py):
+  * tokenize: empty fragments removed after the split; NULL text -> [];
+    fingerprints normalize whitespace BEFORE trimming; a no-token doc
+    emits NO shingles (oracle CTEs guard ``len(t) > 0``);
+  * event time: watermarks cannot admit NULL event times, so the WHOLE
+    family drops them (streaming windows natively; batch sessionize and
+    the st1/st5/st8/hop1/w3 oracles explicitly);
+  * NULL ordering: ts/date-ordered oracle windows pin NULLS FIRST
+    (Spark's asc default; DuckDB defaults NULLS LAST);
+  * anti joins: oracles use NOT EXISTS, never NOT IN (one NULL key
+    silently empties a NOT IN anti leg);
+  * ingest: NULL body == absent body == the S3 '{}' default;
+  * vectors: NULL/zero-norm/non-finite cosine is NULL (ranks last,
+    never pairs); oracles guard ``embedding IS NOT NULL`` where DuckDB's
+    vectorized list_inner_product would reject a NULL list loudly;
+  * money folds: half-away-from-zero on BOTH signs
+    (functions/money.py); NULL/NaN/Inf refused loudly (Arrow float
+    transport conflates NULL and NaN — the folds are deliberately the
+    loud side where SQL SUM would silently skip NULL).
 """
 
 from __future__ import annotations
