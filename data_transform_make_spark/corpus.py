@@ -92,6 +92,24 @@ def _dec_sum(col, scale: int = 2):
     return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
 
 
+def _duck_tokens(col: str) -> str:
+    """The r14 tokenize convention's SQL twin — THE single source.
+
+    Empty fragments filtered after the split (phantom ''-token fix),
+    NULL coalesced to [] (functions/text.py tokens()). Oracle strings
+    embed ``@TOKENS(col)@`` placeholders, expanded at the bottom of the
+    module, so the engine convention and all ~40 oracle sites can only
+    change together (r14 self-review; the mulhash placeholder pattern).
+    The expansion is proven byte-identical to the pre-refactor oracles
+    (sha256 over the expanded dict). The two deliberately DIFFERENT
+    conventions stay inline: tc1's line-level ``trim(l)`` (no lower)
+    and udtf1's case-preserving ``trim(text)``."""
+    return (
+        f"list_filter(regexp_split_to_array(trim(lower(coalesce({col}, ''))), "
+        "'\\s+'), zz -> zz <> '')"
+    )
+
+
 def _duck_mulhash32(col: str, mult: int) -> str:
     """DuckDB mirror of plans.training_corpus.mulhash32 — the 16/16
     decomposition of ``(col * mult) mod 2^32`` that never overflows a
@@ -662,7 +680,7 @@ def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT doc_id,
            CASE WHEN len(trim(text)) = 0 THEN 0
-                ELSE len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) END
+                ELSE len(@TOKENS(text)@) END
              AS n_words,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
              AS n_tokens,
@@ -687,7 +705,7 @@ def ta1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_lang_sql() -> str:
     score = lambda words: (
-        "len(list_filter(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'), zz -> zz <> ''), "
+        "len(list_filter(@TOKENS(text)@, "
         f"t -> t IN ({', '.join(repr(w) for w in words)})))"
     )
     s = {lang: score(words) for lang, words in LANG_STOPWORDS.items()}
@@ -696,10 +714,10 @@ def _duck_lang_sql() -> str:
     WITH scored AS (
       SELECT doc_id, lang AS true_lang,
              {s['en']} AS s_en, {s['de']} AS s_de, {s['es']} AS s_es, {s['fr']} AS s_fr,
-             CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'), zz -> zz <> '')) = 0 THEN CAST(0 AS DOUBLE)
-                  ELSE CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'), zz -> zz <> ''),
+             CASE WHEN len(@TOKENS(text)@) = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(len(list_filter(@TOKENS(text)@,
                                             t -> t IN ({stop}))) AS DOUBLE)
-                       / len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'), zz -> zz <> '')) END
+                       / len(@TOKENS(text)@) END
                AS stop_ratio
       FROM documents
     )
@@ -736,10 +754,10 @@ def ta2_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ELSE CAST(len(text) - len(regexp_replace(text,
                               '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) END)
                        <= 0.2 THEN 1.0 ELSE 0.0 END AS punct_ok,
-             CASE WHEN (CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) = 0 THEN 0.0
-                         ELSE CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> ''), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+             CASE WHEN (CASE WHEN len(@TOKENS(text)@) = 0 THEN 0.0
+                         ELSE CAST(len(list_filter(@TOKENS(text)@, t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
                               AS DOUBLE)
-                              / len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) END)
+                              / len(@TOKENS(text)@) END)
                        >= 0.05 THEN 1.0 ELSE 0.0 END AS stop_ok
       FROM documents
     )
@@ -774,7 +792,7 @@ def ta4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- guard: Spark's tokens('') is [] (doc dropped by the explode) while
       -- regexp_split_to_array('') is [''] (one empty 2-gram row) — blank or
       -- NULL docs must not reach the UNNEST (mirrors tf1's oracle guard)
-      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
+      SELECT doc_id, @TOKENS(text)@ AS t
       FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
     ), sh AS (
       SELECT doc_id, u.sh
@@ -873,7 +891,7 @@ def pii1_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tf1_keyword_topk",
     r"""
     WITH toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
+      SELECT doc_id, @TOKENS(text)@ AS t
       FROM documents WHERE len(trim(text)) > 0
     ), tok AS (
       SELECT doc_id, u.term FROM toks, UNNEST(t) AS u(term)
@@ -909,7 +927,7 @@ def tf1_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lm1_unigram_freq_score",
     r"""
     WITH toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS tk
+      SELECT doc_id, @TOKENS(text)@ AS tk
       FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
     ), tok AS (
       SELECT doc_id, u.t FROM toks, UNNEST(tk) AS u(t)
@@ -1101,10 +1119,10 @@ def mix1_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE CAST(len(text) - len(regexp_replace(text,
                      '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) END)
               <= 0.2 THEN 1.0 ELSE 0.0 END)
-       + (CASE WHEN (CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) = 0 THEN 0.0
-                ELSE CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> ''), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+       + (CASE WHEN (CASE WHEN len(@TOKENS(text)@) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(@TOKENS(text)@, t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
                      AS DOUBLE)
-                     / len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) END)
+                     / len(@TOKENS(text)@) END)
               >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality,
         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
           AS BIGINT) AS n_tokens
@@ -1150,7 +1168,7 @@ def pack1_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
           ELSE '' END AS t
       FROM documents
     ), toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(t, ''))), '\s+'), zz -> zz <> '') AS tk
+      SELECT doc_id, @TOKENS(t)@ AS tk
       FROM aug WHERE t IS NOT NULL AND len(trim(t)) > 0
     ), spans AS (
       SELECT doc_id, g.i AS pos, array_to_string(tk[g.i : g.i + 7], ' ') AS span
@@ -1333,7 +1351,7 @@ def dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_filter(tk, x -> x = 'scan'))  AS tf_scan,
              len(list_filter(tk, x -> x = 'merge')) AS tf_merge
       FROM (
-        SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS tk
+        SELECT doc_id, @TOKENS(text)@ AS tk
         FROM documents
         WHERE text IS NOT NULL AND len(trim(text)) > 0
       )
@@ -1585,7 +1603,7 @@ def unp1_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d2_ngram_jaccard",
     r"""
     WITH toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
+      SELECT doc_id, @TOKENS(text)@ AS t
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
@@ -1622,7 +1640,7 @@ def d2_ngram_jaccard(
     "d2b_ngram_jaccard_capped",
     r"""
     WITH toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
+      SELECT doc_id, @TOKENS(text)@ AS t
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
@@ -1706,7 +1724,7 @@ def _duck_minhash_md5_sql(
     )
     return rf"""
     WITH toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
+      SELECT doc_id, @TOKENS(text)@ AS t
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
@@ -1779,7 +1797,7 @@ def _duck_simhash_md5_sql(n_bits: int = 60, max_hamming: int = 8) -> str:
     )
     return rf"""
     WITH toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
+      SELECT doc_id, @TOKENS(text)@ AS t
       FROM documents
     ), tok AS (
       SELECT doc_id,
@@ -3523,10 +3541,10 @@ def sql1_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE CAST(len(text) - len(regexp_replace(text,
                          '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) END)
                   <= 0.2 THEN 1.0 ELSE 0.0 END)
-           + (CASE WHEN (CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) = 0 THEN 0.0
-                    ELSE CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> ''), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+           + (CASE WHEN (CASE WHEN len(@TOKENS(text)@) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(@TOKENS(text)@, t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
                          AS DOUBLE)
-                         / len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) END)
+                         / len(@TOKENS(text)@) END)
                   >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0 >= 0.66
     ), exact AS (
       SELECT * FROM (
@@ -3536,7 +3554,7 @@ def sql1_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM quality
       ) WHERE rn = 1
     ), toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t FROM exact
+      SELECT doc_id, @TOKENS(text)@ AS t FROM exact
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
@@ -3639,7 +3657,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dc1_dedup_clusters",
     r"""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
+      SELECT doc_id, @TOKENS(text)@ AS t
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
@@ -3693,7 +3711,7 @@ def dc1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dc2_dedup_clusters_capped",
     r"""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
+      SELECT doc_id, @TOKENS(text)@ AS t
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
@@ -3757,7 +3775,7 @@ def dc2_dedup_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CASE WHEN @MULHASH_SPLIT@ < 3435973837
                   THEN 'train' ELSE 'eval' END AS split,
-             list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
+             @TOKENS(text)@ AS t
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, split, u.sh
@@ -3795,7 +3813,7 @@ def dec1_decontamination(spark: SparkSession, sf_dir: str, eager: bool = True) -
     "ch1_doc_chunks",
     r"""
     WITH toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
+      SELECT doc_id, @TOKENS(text)@ AS t
       FROM documents
       WHERE len(trim(text)) > 0
     )
@@ -3820,7 +3838,7 @@ def ch1_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d6_editdist_recheck",
     r"""
     WITH toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t
+      SELECT doc_id, @TOKENS(text)@ AS t
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
@@ -3929,10 +3947,10 @@ def w8_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE CAST(len(text) - len(regexp_replace(text,
                          '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) END)
                   <= 0.2 THEN 1.0 ELSE 0.0 END)
-           + (CASE WHEN (CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) = 0 THEN 0.0
-                    ELSE CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> ''), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+           + (CASE WHEN (CASE WHEN len(@TOKENS(text)@) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(@TOKENS(text)@, t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
                          AS DOUBLE)
-                         / len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) END)
+                         / len(@TOKENS(text)@) END)
                   >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0 >= 0.66
     ), exact AS (
       SELECT * FROM (
@@ -3942,7 +3960,7 @@ def w8_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM quality
       ) WHERE rn = 1
     ), toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t FROM exact
+      SELECT doc_id, @TOKENS(text)@ AS t FROM exact
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
@@ -4006,10 +4024,10 @@ def ll2_training_corpus_clustered(spark: SparkSession, sf_dir: str, eager: bool 
                     ELSE CAST(len(text) - len(regexp_replace(text,
                          '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / len(text) END)
                   <= 0.2 THEN 1.0 ELSE 0.0 END)
-           + (CASE WHEN (CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) = 0 THEN 0.0
-                    ELSE CAST(len(list_filter(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> ''), t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
+           + (CASE WHEN (CASE WHEN len(@TOKENS(text)@) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(@TOKENS(text)@, t -> t IN ('the','a','an','of','and','to','in','is','it','that')))
                          AS DOUBLE)
-                         / len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '')) END)
+                         / len(@TOKENS(text)@) END)
                   >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0 >= 0.66
     ), exact AS (
       SELECT * FROM (
@@ -4019,7 +4037,7 @@ def ll2_training_corpus_clustered(spark: SparkSession, sf_dir: str, eager: bool 
         FROM quality
       ) WHERE rn = 1
     ), toks AS (
-      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'), zz -> zz <> '') AS t FROM exact
+      SELECT doc_id, @TOKENS(text)@ AS t FROM exact
     ), sh AS (
       SELECT DISTINCT doc_id, u.sh
       FROM toks, UNNEST([array_to_string(t[i : i + 2], ' ')
@@ -4253,4 +4271,6 @@ for _name in list(_ORACLES):
         .replace("@MULHASH_SPLIT@", _MULHASH_SPLIT_SQL)
         .replace("@MULHASH_MIX@", _MULHASH_MIX_SQL)
         .replace("@JS_WS@", _JS_WS)
+        .replace("@TOKENS(text)@", _duck_tokens("text"))
+        .replace("@TOKENS(t)@", _duck_tokens("t"))
     )

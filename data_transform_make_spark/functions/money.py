@@ -11,12 +11,19 @@ SQL ``round()`` — **half away from zero** — on BOTH signs:
 * the r13 fix ``floor(x + 0.5)`` is half-UP: correct for positive money
   but rounds negative ties toward +inf (``floor(-0.5 + 0.5) = 0`` where
   SQL gives -1) — the same silent-divergence shape one sign away (r13
-  verdict item 1 / ADVICE r13).
+  verdict item 1 / ADVICE r13);
+* ANY ``+ 0.5``-based form (including the interim r14
+  ``trunc(y + copysign(0.5, y))``) DOUBLE-ROUNDS near-ties: for
+  ``y = 0.49999999999999994`` (one ULP below the tie) the addition
+  itself rounds to ``1.0``, so the fold said 1 where SQL ``round`` says
+  0 — found by the r14 self-review, verified against DuckDB.
 
-``trunc(y + copysign(0.5, y))`` is half-away-from-zero on both signs and
-reduces to ``floor(y + 0.5)`` for y >= 0, so positive-fixture results are
-unchanged. Pinned against DuckDB DOUBLE arithmetic (both signs, exact
-ties) in tests/test_money_round.py.
+The shipped fold is addition-free: ``rint(y)`` (IEEE correctly-rounded,
+half-to-even, no intermediate arithmetic) with EXACT ties — detected by
+``|y - trunc(y)| == 0.5``, a representable comparison — bumped away from
+zero (``trunc(y) + copysign(1, y)``). Equal to DuckDB ``round()`` on
+exact ties of both signs, one-ULP near-ties of both signs, and the
+2^52-scale boundary; pinned in tests/test_money_round.py.
 """
 
 from __future__ import annotations
@@ -42,4 +49,16 @@ def money_round_units(values, scale: int):
             "money_round_units: non-finite money value (NaN/Inf) — "
             "integer-unit folds require finite inputs"
         )
-    return np.trunc(y + np.copysign(0.5, arr)).astype("int64")
+    # rint: correctly-rounded (no `+ 0.5` double-rounding); then bump
+    # EXACT .5 remainders away from zero to turn half-even into SQL's
+    # half-away. The tie test is exact float equality on a representable
+    # value — never true for near-ties.
+    r = np.rint(y)
+    tie = np.abs(arr - np.trunc(arr)) == 0.5
+    out = np.where(tie, np.trunc(y) + np.copysign(1.0, arr), r)
+    if isinstance(out, np.ndarray) and not isinstance(y, np.ndarray):
+        # np.where materializes an ndarray; restore the Series container
+        import pandas as pd
+
+        out = pd.Series(out, index=values.index)
+    return out.astype("int64")

@@ -150,13 +150,15 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     Texts with fewer than n tokens yield a single shingle of all tokens, so
     short documents still participate in Jaccard/MinHash dedup.
 
-    NULL text yields an EMPTY array, not ``[""]``: ``size(NULL)`` is NULL
-    under ANSI (and -1 legacy), so an ``== 0`` guard misses it and
-    ``concat_ws`` over a NULL slice returns ``""`` — two NULL-text docs
-    would then share the "" shingle and score Jaccard 1.0, while the
-    DuckDB twins produce a NULL shingle that never equi-joins. Guarding
-    on the POSITIVE branch (``k > 0``) routes NULL, -1 and 0 alike to
-    "no shingles" on both engines.
+    NULL/blank text yields an EMPTY array, not ``[""]``: since r14
+    ``tokens(NULL)`` is already ``[]`` (the NULL contract lives in the
+    tokenizer), so the ``k > 0`` guard's remaining job is the
+    zero-token case — without it an empty slice would ``concat_ws`` to
+    the ``""`` shingle, every empty pair would Jaccard-match 1.0, and
+    the DuckDB twins (whose shingle CTEs guard ``len(t) > 0``) would
+    disagree. The POSITIVE-branch form also stays correct if a NULL
+    array ever reappears upstream (``size(NULL)`` is NULL under ANSI,
+    -1 legacy — neither passes ``> 0``).
     """
     if n < 1:
         # n=0 would emit an empty ("") shingle per window — every doc

@@ -115,12 +115,10 @@ def bm25_topk(
     # sites so a widened projection can't reintroduce the class
     # (advice, round 13).
     claim_scratch(df, "bm25_topk", "__tfs")
-    # coalesce: tokens(NULL text) is NULL, and a NULL token array would
-    # poison dl/tf (NULL, or -1 under legacy sizeOfNull) and surface
-    # NULL-scored rows in the top-k
-    tk = F.coalesce(
-        tokens(F.col(text_col)), F.array().cast("array<string>")
-    )
+    # tokens(NULL) is [] since r14 (functions/text.py — the NULL/empty
+    # contract moved INTO the tokenizer), so NULL text takes the same
+    # empty-doc path as blank text: dl = 0, every tf = 0, score 0.0
+    tk = tokens(F.col(text_col))
 
     # ONE fused interpreted traversal counts every term (round 12): the
     # pre-r12 shape ran size(filter(tk, =t)) once PER TERM — T array

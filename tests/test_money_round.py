@@ -20,12 +20,17 @@ import pytest
 from data_transform_make_spark.functions.money import money_round_units
 
 # exact .5 float ties of both signs (0.005 * 100 == 0.5 exactly in
-# float64), non-tie values, zeros (both float zeros), large magnitudes
+# float64), NEAR-ties one ULP off the tie (the r14 self-review find:
+# any `+ 0.5`-based fold double-rounds these), non-tie values, zeros
+# (both float zeros), large magnitudes up to the 2^52 tie boundary
 TIE_VALS = [
     -2.675, -1.5, -1.005, -0.5, -0.025, -0.015, -0.005,
     -0.0, 0.0,
     0.005, 0.015, 0.025, 0.5, 1.005, 1.5, 2.675,
     12.34, -12.34, 123456.789, -123456.789,
+    0.004999999999999999, -0.004999999999999999,
+    0.005000000000000001, -0.005000000000000001,
+    4503599627370495.5 / 100, -4503599627370495.5 / 100,
 ]
 
 
@@ -54,6 +59,27 @@ def test_replaced_folds_diverge_on_the_values_that_killed_them():
     assert (s * 100).round().astype("int64").tolist() != oracle
     # r13's floor(x + 0.5) half-UP: dies on negative ties (the r14 fix)
     assert np.floor(s * 100 + 0.5).astype("int64").tolist() != oracle
+    # the interim r14 trunc(y + copysign(.5, y)): dies on one-ULP
+    # near-ties — the addition itself rounds 0.4999...94 + 0.5 to 1.0
+    # (the r14 self-review find)
+    y = np.asarray(s, dtype="float64") * 100
+    interim = np.trunc(y + np.copysign(0.5, y)).astype("int64").tolist()
+    assert interim != oracle
+
+
+def test_fuzz_against_duckdb_round():
+    # deterministic fuzz: random magnitudes plus constructed ULP
+    # neighborhoods around ties — every value must match DuckDB round()
+    rng = np.random.default_rng(20260815)
+    vals = list(rng.uniform(-1e6, 1e6, 200)) + list(
+        rng.uniform(-0.02, 0.02, 200)
+    )
+    for base in (0.005, -0.005, 1.5, -1.5, 2.5, 12345.675):
+        b = np.float64(base)
+        for v in (b, np.nextafter(b, -np.inf), np.nextafter(b, np.inf)):
+            vals.append(float(v))
+    s = pd.Series(vals, dtype="float64")
+    assert money_round_units(s, 100).tolist() == _duck_round(vals, 100)
 
 
 def test_negative_ties_specifically():

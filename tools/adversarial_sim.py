@@ -157,9 +157,22 @@ def build_fixture(spark) -> str:
     for entry in os.listdir(BASE_SF):
         if entry in extras:
             base = spark.read.parquet(os.path.join(BASE_SF, entry))
-            # align nested types exactly (events ts is NANOS in the base
-            # fixture; the rewrite lands as micros, which is what
-            # load_table normalizes to anyway)
+            # align column types to the base schema exactly (the shipped
+            # fixtures store ts as timestamp[us], so this is an identity
+            # for events). Refuse a nanos-as-long base loudly: casting
+            # the extras' TIMESTAMP to LONG would yield epoch SECONDS,
+            # land the hostile events at ~1970 after load_table's
+            # nanos DIV 1000, and silently gut the NULL-ts coverage
+            # (r14 self-review).
+            if entry == "events.parquet":
+                ts_type = dict(base.dtypes).get("ts")
+                if ts_type not in ("timestamp", "timestamp_ntz"):
+                    raise AssertionError(
+                        f"adversarial_sim: base events ts is {ts_type!r}; "
+                        "the hostile-extras cast only preserves instants "
+                        "for TIMESTAMP bases — teach build_fixture the "
+                        "nanos encoding before pointing ADVERS_SF here"
+                    )
             extra = extras[entry].select(
                 *[F.col(f.name).cast(f.dataType) for f in base.schema.fields]
             )
