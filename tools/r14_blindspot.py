@@ -50,8 +50,14 @@ def sweep_money(con) -> None:
             raise AssertionError(f"money fold accepted {bad}")
         except ValueError:
             pass
-    # both signs, exact ties: equal to DuckDB round() on DOUBLE
-    vals = [-2.5, -1.005, -0.005, -0.0, 0.0, 0.005, 1.005, 2.5]
+    # both signs, exact ties AND one-ULP near-ties (the self-review
+    # find: any `+ 0.5`-based fold double-rounds the near-ties):
+    # equal to DuckDB round() on DOUBLE
+    vals = [
+        -2.5, -1.005, -0.005, -0.0, 0.0, 0.005, 1.005, 2.5,
+        0.004999999999999999, -0.004999999999999999,
+        0.005000000000000001, -0.005000000000000001,
+    ]
     eng = money_round_units(pd.Series(vals), 100).tolist()
     ora = [
         con.execute(
