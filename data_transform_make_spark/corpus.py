@@ -4173,6 +4173,23 @@ def ll3_training_corpus_capped(spark: SparkSession, sf_dir: str, eager: bool = T
 # its fold changed in r13 after its last external row), then the
 # alphabetically-first 27 of the 43 r12-stale keys. After r14 no key
 # of any kind has a row older than r12.
+#
+# ROUND 15 (registry FROZEN at 109 — steady rotation, per the r14
+# verdict directive 1): changed-pair keys take priority over
+# alphabetical fill. (a) the 16 r12-stale keys, with the seven whose
+# engine body or oracle twin was touched by the r14 hostile sweep
+# (ta4, w1, q5, st8, unp1, ta3, w5) fronted within the block; then
+# (b) the 20 r13-latest keys whose engine body or oracle twin changed
+# in r14 — ga1/pu1 (money fold, changed twice), udtf1/tf1/d3b
+# (tokenize convention), st6 (dataset-directory streaming-read fix),
+# hop1/n1/d5/w2/w8/q4/ch1/samp1/sp1/pack1/pii1/diff1/mm2b/mm4b
+# (hostile-wave oracle/contract pins) — the d5/par1/st3 "fresh
+# external rows land with the change" precedent; then (c) the
+# alphabetically-first 7 of the 23 unchanged r13-stale keys. The
+# remaining 16 r13-stale keys (d5c, d5d, d6, g1, g2, gf1, j4, mm1,
+# mm2, mm3, mm4, n2, n3b, pc1, q6, sk1) lead the r16 rotation. After
+# r15 no key of any kind has a row older than r13, and every
+# r14-changed-pair key holds a post-change external row.
 _DRIVER_WINDOW = [
     # core anchors (certified every round)
     "p1_status_gate",
@@ -4182,59 +4199,53 @@ _DRIVER_WINDOW = [
     "a1_a2_order_counter_deltas",
     "q1_pricing_summary",
     "st1_stream_window_agg",
-    # Round-14 rotation (r13 verdict directive 1):
-    # (a) the 16 r11-stale keys — after the r13 rotation these are the
-    # only keys whose newest driver row is r11 (verified against the
-    # cumulative CORRECTNESS_r01–r13 history). st3 is fronted: its fold
-    # body changed in r13 (the money-rounding fix) AFTER its last
-    # external row, so it needs a fresh post-fix driver row first (the
-    # d5/par1 "fresh rows land with the change" precedent).
-    "st3_stream_stateful_counters",
-    "sql1_raw_sql",
-    "st2_stream_dedup",
-    "st4_stream_stream_join",
-    "st5_stream_session_window",
-    "st7_stream_static_join",
-    "t5_falsy_defaults",
-    "t7_js_parse_int",
-    "ta1_text_stats",
-    "ta2_lang_id",
-    "up1_unpivot",
-    "w3_sessionize",
-    "w6_lag_lead",
-    "w7_ntile",
-    "x1_json_extract",
-    "x2_explode_sequence",
-    # (b) the alphabetically-first 27 of the 43 keys whose newest row
-    # is r12 (the remaining 16 — par1, q3, q5, rc1, s1, sd1, st8,
-    # ta3, ta4, ta5, tc1, u1, unp1, w1, w4, w5 — front the r15 window).
-    "a3_insufficient_stock",
-    "a4_a6_status_transitions",
-    "a5_counter_pivot",
-    "agg1_ordered_collect",
-    "arr1_array_hofs",
-    "bm25_1_query_ranking",
-    "cd1_distinct_agg",
-    "cr1_compression_ratio",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard",
-    "dc1_dedup_clusters",
-    "dc2_dedup_clusters_capped",
-    "dec1_decontamination",
-    "dq1_column_profile",
-    "dt1_date_buckets",
-    "g3_grouping_sets",
-    "h1_having",
-    "j2_as_of_join",
-    "j3_range_join",
-    "ll1_training_corpus",
-    "ll2_training_corpus_clustered",
-    "ll3_training_corpus_capped",
-    "lm1_unigram_freq_score",
-    "mf1_map_explode",
-    "mix1_domain_mixing",
-    "mo1_moment_aggs",
-    "n3_ivf_topk",
+    # (a) the 16 r12-stale keys; the 7 r14-touched ones first
+    "ta4_doc_fingerprint",
+    "w1_running_total",
+    "q5_local_supplier_volume",
+    "st8_stream_hopping_window",
+    "unp1_unpivot_measures",
+    "ta3_quality_score",
+    "w5_global_topk",
+    "par1_paragraph_dedup",
+    "q3_shipping_priority",
+    "rc1_recursive_hierarchy",
+    "s1_set_ops",
+    "sd1_substring_dup_report",
+    "ta5_repetition",
+    "tc1_line_cleaning",
+    "u1_string_funcs",
+    "w4_tumbling_window",
+    # (b) the 20 r13-latest keys changed in r14 (fresh rows land with
+    # the change)
+    "ga1_pandas_grouped_agg",
+    "pu1_scalar_pandas_udf",
+    "udtf1_lateral_tokenize",
+    "tf1_keyword_topk",
+    "d3b_minhash_lsh_md5",
+    "st6_stream_ingest_routing",
+    "hop1_hopping_window_agg",
+    "n1_topk_cosine",
+    "d5_embedding_near_dup",
+    "w2_topk_per_group",
+    "w8_percent_rank",
+    "q4_order_priority",
+    "ch1_doc_chunks",
+    "samp1_stratified_sample",
+    "sp1_hash_split",
+    "pack1_token_budget",
+    "pii1_redaction",
+    "diff1_snapshot_diff",
+    "mm2b_media_decode_oracle",
+    "mm4b_resize_oracle",
+    # (c) alphabetically-first 7 of the 23 unchanged r13-stale keys
+    "apx1_sketch_aggs",
+    "cs1_correlated_subquery",
+    "d2b_ngram_jaccard_capped",
+    "d3_minhash_lsh",
+    "d4_simhash",
+    "d4b_simhash_md5",
+    "d5b_embedding_near_dup_lsh",
 ]
 
 
