@@ -36,9 +36,15 @@ def money_round_units(values, scale: int):
     units per whole (100 for cents, 10000 for basis points). Returns the
     same container type (a scalar pandas_udf must yield a Series — the
     index is preserved). Equals DuckDB/Spark ``CAST(round(x * scale) AS
-    BIGINT)`` for every finite float of either sign. NaN/Inf are refused
-    loudly: they cannot be represented in integer units and silently
-    casting would produce engine-dependent garbage (int64 min on numpy).
+    BIGINT)`` for every finite, in-range float of either sign. NaN/Inf are
+    refused loudly: they cannot be represented in integer units and
+    silently casting would produce engine-dependent garbage (int64 min on
+    numpy). Scaled magnitudes >= 2^63 are refused the same way (r14
+    ADVICE): numpy's float->int64 cast wraps/is undefined out of range,
+    which would be silent garbage units — inconsistent with the fold's
+    loud-refusal contract. (Magnitudes above 2^53 already exceed float64
+    cent precision; they stay representable and cast exactly, so the
+    refusal bound is the actual overflow line, not the precision line.)
     """
     import numpy as np
 
@@ -48,6 +54,15 @@ def money_round_units(values, scale: int):
         raise ValueError(
             "money_round_units: non-finite money value (NaN/Inf) — "
             "integer-unit folds require finite inputs"
+        )
+    # int64 range guard: 2^63 is exactly representable in float64, and
+    # float spacing at that magnitude (1024) means rint/tie-bump cannot
+    # push an in-range value across the line — guarding the scaled input
+    # is sufficient.
+    if (np.abs(arr) >= 2.0**63).any():
+        raise ValueError(
+            "money_round_units: scaled magnitude >= 2^63 overflows int64 "
+            "units — refuse loudly rather than wrap"
         )
     # rint: correctly-rounded (no `+ 0.5` double-rounding); then bump
     # EXACT .5 remainders away from zero to turn half-even into SQL's

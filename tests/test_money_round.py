@@ -4,12 +4,16 @@ Round 13 fixed the pandas half-to-even divergence on positive ties with
 ``floor(x + 0.5)``; that form is half-UP, which rounds NEGATIVE exact ties
 toward +inf where SQL ``round`` (DuckDB, Spark) rounds half away from zero
 — the identical silent-divergence shape one sign away (r13 verdict item 1,
-r13 ADVICE). The shared fold ``trunc(y + copysign(0.5, y))`` is
-half-away-from-zero on both signs and reduces to the r13 form for y >= 0,
-so every positive-fixture result is unchanged. These tests pin the fold
-against DuckDB DOUBLE arithmetic on both signs (exact ties included), pin
-the two folds it replaced as divergent on the values that killed them, and
-pin the loud NaN/Inf refusal.
+r13 ADVICE). The interim r14 candidate ``trunc(y + copysign(0.5, y))`` is
+half-away on both signs but DOUBLE-ROUNDS one-ULP near-ties (the ``+ 0.5``
+addition itself rounds up) — caught by the r14 self-review before it
+shipped; it survives here only in the replaced-folds-diverge history test.
+The shipped fold is addition-free: ``rint(y)`` with EXACT ties (detected
+by a representable ``|y - trunc(y)| == 0.5`` comparison) bumped away from
+zero. These tests pin the shipped fold against DuckDB DOUBLE arithmetic on
+both signs (exact ties, near-ties, the 2^52 boundary, a 400-value fuzz),
+pin all three folds it replaced as divergent on the values that killed
+them, and pin the loud NaN/Inf and int64-range refusals.
 """
 
 import duckdb
@@ -107,3 +111,21 @@ def test_ndarray_input_supported():
 def test_non_finite_refused_loudly(bad):
     with pytest.raises(ValueError, match="non-finite"):
         money_round_units(pd.Series([1.0, bad]), 100)
+
+
+@pytest.mark.parametrize("sign", [1.0, -1.0])
+def test_int64_overflow_refused_loudly(sign):
+    # r14 ADVICE: a finite value whose SCALED magnitude reaches 2^63 would
+    # wrap through numpy's out-of-range float->int64 cast — refuse instead.
+    over = sign * (2.0**63) / 100  # scaled value == ±2^63 exactly
+    with pytest.raises(ValueError, match="2\\^63"):
+        money_round_units(pd.Series([1.0, over]), 100)
+
+
+def test_just_below_int64_boundary_still_folds():
+    # the largest float64 strictly below 2^63 (spacing 1024 there) must
+    # pass the guard and cast exactly; above-2^53 values are documented as
+    # beyond cent precision but remain exact integer floats
+    below = float(np.nextafter(2.0**63, 0.0))
+    out = money_round_units(pd.Series([below / 100, -below / 100]), 100)
+    assert out.tolist() == [int(below), -int(below)]

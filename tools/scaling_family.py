@@ -84,11 +84,15 @@ def _split32_overlay(spark, src: str, workdir: str) -> str:
 def main() -> None:
     spark = get_spark("scaling-family")
     global SF01, SF1
-    workdir = None
     if LAYOUT == "split32":
+        import atexit
+        import shutil
         import tempfile
 
         workdir = tempfile.mkdtemp(prefix="sgraft_split32_")
+        # r14 ADVICE: clean the multi-GB overlay on EVERY exit path — a
+        # failed timed run or a bad query name must not leak it in /tmp
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
         SF01 = _split32_overlay(spark, SF01, workdir)
         SF1 = _split32_overlay(spark, SF1, workdir)
     qs = corpus.queries()
@@ -123,10 +127,6 @@ def main() -> None:
             out[name]["session_only"] = True
     print("SCALING_FAMILY_RESULT:" + json.dumps(out))
     spark.stop()
-    if workdir is not None:
-        import shutil
-
-        shutil.rmtree(workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":
