@@ -17,6 +17,28 @@ For each queries() entry, renders .explain("formatted") at $SPARK_GRAFT_SF_DIR
 
 Run: python tools/explain_audit.py [--full]   (writes EXPLAIN_AUDIT.md)
 Exit 1 if any hard rule fails.
+
+``--check`` regenerates the report in memory and diffs it against the
+committed EXPLAIN_AUDIT.md instead of writing (exit 1 on any difference).
+DISCIPLINE (r14 verdict directive 2, after the ll3 codegen-spans cell was
+caught one-stale): the audit regen must be the round's LAST
+engine-touching step — regenerate, commit, then run ``--check`` in a
+fresh session to prove the committed file is byte-identical to what a
+from-scratch regeneration produces.
+
+Span-count determinism (r15 probe, 6+ fresh sessions): every cell is
+session-stable EXCEPT ll2/ll3, whose executed plans flip 6<->7 codegen
+spans across sessions. Cause (plan-diffed): both read a scoped-cache
+localCheckpoint whose materialized partition count is an AQE coalescing
+decision made from runtime byte statistics; when that count satisfies the
+downstream required distribution the plan reuses it (6 spans), otherwise
+AQE inserts one extra Exchange above the ``Scan ExistingRDD``, splitting
+a WholeStageCodegen span (7). Same logical plan, same results, same
+shuffle-pinned shape upstream of the checkpoint — a runtime-statistics
+artifact, not a regression. Those two cells are therefore reported as the
+pinned range ``6..7 (AQE-variable)`` (and FAIL loudly if a session ever
+reads outside it), which makes the report byte-stable so ``--check``
+mismatches always mean staleness.
 """
 
 from __future__ import annotations
@@ -42,6 +64,12 @@ ALLOW_CARTESIAN = {
     # broadcast cross join — the scalable global-scalar pattern
     "bm25_1_query_ranking",  # 1-row corpus stats (N, sumdl, dfs) attached
     # by broadcast cross join — same global-scalar pattern as lm1
+}
+# Cells whose executed-plan codegen-span count is an AQE runtime-statistics
+# artifact (see module docstring): report the pinned range, FAIL outside it.
+AQE_VARIABLE_SPANS = {
+    "ll2_training_corpus_clustered": (6, 7),
+    "ll3_training_corpus_capped": (6, 7),
 }
 # Streaming / mapInPandas queries run through memory sinks — the plan text
 # is the batch-materialized result, skip structural checks.
@@ -114,24 +142,52 @@ def main() -> int:
         scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
         pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
         wsc = len(set(re.findall(r"codegen id : (\d+)", plan)))
+        if name in AQE_VARIABLE_SPANS:
+            lo, hi = AQE_VARIABLE_SPANS[name]
+            if lo <= wsc <= hi:
+                wsc_cell = f"{lo}..{hi} (AQE-variable)"
+            else:
+                problems.append(
+                    f"codegen-spans={wsc} outside pinned AQE range {lo}..{hi}")
+                failures[name] = problems
+                wsc_cell = str(wsc)
+        else:
+            wsc_cell = str(wsc)
         status = "FAIL: " + "; ".join(problems) if problems else "ok"
         out.append(
             f"## {name}\n{status} — scans={scans}, scans-with-pushdown={pushed}, "
-            f"codegen-spans={wsc}\n"
+            f"codegen-spans={wsc_cell}\n"
         )
         if "--full" in sys.argv:
             out.append("```\n" + plan.strip() + "\n```\n")
     report = "\n".join(out)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "EXPLAIN_AUDIT.md")
-    with open(path, "w") as f:
-        f.write(report)
-    print(f"wrote {path}")
+    stale = False
+    if "--check" in sys.argv:
+        with open(path) as f:
+            committed = f.read()
+        if committed == report:
+            print(f"check: {path} is byte-identical to a fresh regeneration")
+        else:
+            stale = True
+            import difflib
+
+            diff = list(difflib.unified_diff(
+                committed.splitlines(), report.splitlines(),
+                "committed", "regenerated", lineterm="", n=0))
+            print(f"check: {path} is STALE — {len(diff)} diff lines:")
+            for line in diff[:40]:
+                print(line)
+    else:
+        with open(path, "w") as f:
+            f.write(report)
+        print(f"wrote {path}")
     for name, probs in failures.items():
         print(f"FAIL {name}: {probs}")
     print("FAILS:", list(failures) if failures else "none")
     spark.stop()
-    return 1 if failures else 0
+    return 1 if (failures or stale) else 0
 
 
 if __name__ == "__main__":
