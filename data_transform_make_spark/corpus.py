@@ -35,6 +35,31 @@ by the convention batteries in tools/r14_blindspot.py):
     (functions/money.py); NULL/NaN/Inf refused loudly (Arrow float
     transport conflates NULL and NaN — the folds are deliberately the
     loud side where SQL SUM would silently skip NULL).
+
+Cross-batch arrival contracts (round 15 — asserted by
+tools/streaming_hostile_sim.py, which replays a controlled multi-batch
+arrival order through the SHIPPED st1-st8 bodies; permanent in
+tests/test_streaming_hostile.py):
+  * complete-mode windowed aggs (st1/st5/st8) are arrival-order
+    INVARIANT: state is never evicted and late rows beyond the
+    watermark still aggregate, so an availableNow replay equals the
+    batch oracle in any arrival order (sessions also merge a late row
+    into existing session state);
+  * dropDuplicatesWithinWatermark (st2) applied exactly-once per
+    event id over straddling duplicates, a unioned double, AND
+    late-beyond-watermark arrivals (no input-side late filter
+    observed); guaranteed only for duplicates within the watermark
+    delay of each other — the registered oracle additionally assumes
+    the shipped fixture's unique-id invariant (a dup-bearing fixture
+    needs count(DISTINCT event_id), the sim's scenario oracle);
+  * the stream-stream inner join (st4) equals the batch join under
+    availableNow (state cleanup is lazy/best-effort; a late purchase
+    still attributes);
+  * applyInPandasWithState (st3) emits one row per (key, batch) in
+    update mode; the LATEST row per key equals the batch GROUP BY,
+    and NULL event-time rows flow through (no watermark applies);
+  * every pipeline survives an entirely EMPTY micro-batch and an
+    entirely dead-letter one.
 """
 
 from __future__ import annotations

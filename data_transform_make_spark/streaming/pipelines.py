@@ -26,29 +26,37 @@ from pyspark.sql import functions as F
 from ..sources.loader import load_table
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """events.parquet as an unbounded source (schema from the batch read;
-    the nanos ts column is normalized identically)."""
+    the nanos ts column is normalized identically).
+
+    ``max_files_per_trigger`` caps files per micro-batch (availableNow
+    honors it and splits the catch-up into multiple batches, files taken
+    in modification-time order) — the r15 streaming hostile wave uses it
+    to replay a controlled arrival ORDER (late rows, straddling
+    duplicates, an all-dead-letter batch) through the shipped pipeline
+    bodies; production runs leave it unset.
+    """
     # pin conf (nanosAsLong etc.) by going through the batch loader once
     load_table(spark, sf_dir, "events")
     path = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(path).schema
     import os
 
+    reader = spark.readStream.schema(raw_schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isdir(path):
         # a Spark-written DATASET directory loads directly (the hostile
         # and split-layout fixtures; r14 — the glob form below matches
         # leaf FILES only and would silently stream zero rows here)
-        stream = spark.readStream.schema(raw_schema).format("parquet").load(path)
+        stream = reader.load(path)
     else:
         # a single FILE needs the glob: the file stream source insists
         # its base path is a directory
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-        )
+        stream = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -80,6 +88,7 @@ def streaming_window_agg(
     window: str = "1 hour",
     watermark: str = "10 minutes",
     slide: str | None = None,
+    source: DataFrame | None = None,
 ) -> DataFrame:
     """Watermarked tumbling (or, with ``slide``, hopping) window
     aggregation, run to completion.
@@ -94,7 +103,7 @@ def streaming_window_agg(
     (append would hold windows until the watermark crosses them — correct
     for unbounded runs, empty for a single catch-up batch).
     """
-    ev = stream_events(spark, sf_dir)
+    ev = source if source is not None else stream_events(spark, sf_dir)
     w = (
         F.window("ts", window, slide)
         if slide is not None
@@ -114,7 +123,11 @@ def streaming_window_agg(
 
 
 def streaming_session_window(
-    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", watermark: str = "1 hour"
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    source: DataFrame | None = None,
 ) -> DataFrame:
     """Watermarked session-window aggregation (`session_window`): per-user
     sessions whose windows merge while consecutive events are <= gap apart
@@ -128,7 +141,7 @@ def streaming_session_window(
     mode so one availableNow pass surfaces every closed session; epoch-
     micros outputs keep the cross-engine comparison exact.
     """
-    ev = stream_events(spark, sf_dir)
+    ev = source if source is not None else stream_events(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -143,7 +156,9 @@ def streaming_session_window(
     return _run_to_memory(agg, "complete")
 
 
-def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_dedup_count(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Cross-batch idempotency: duplicate the stream (union with itself),
     dedup on event_id within the watermark, count per event_type.
 
@@ -151,7 +166,7 @@ def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's per-request Set (SURVEY.md §2.8): a webhook retry (here a
     whole duplicated stream) applies exactly once.
     """
-    ev = stream_events(spark, sf_dir)
+    ev = source if source is not None else stream_events(spark, sf_dir)
     doubled = ev.unionByName(ev)
     deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
@@ -160,7 +175,9 @@ def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
-def streaming_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_stateful_counters(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (event count, value-in-cents sum) counters — the in-engine
     re-expression of the reference's externalized read-modify-write counter
@@ -175,7 +192,7 @@ def streaming_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = stream_events(spark, sf_dir)
+    ev = source if source is not None else stream_events(spark, sf_dir)
 
     def update(key, pdfs, state: GroupState):
         # sign-aware SQL-round fold (half away from zero on BOTH signs,
@@ -204,7 +221,10 @@ def streaming_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_click_purchase_join(
-    spark: SparkSession, sf_dir: str, horizon_minutes: int = 10
+    spark: SparkSession,
+    sf_dir: str,
+    horizon_minutes: int = 10,
+    source: DataFrame | None = None,
 ) -> DataFrame:
     """Stream-stream inner join: attribute each purchase to the clicks by
     the same user in the preceding ``horizon_minutes``.
@@ -214,7 +234,7 @@ def streaming_click_purchase_join(
     the state store (unbounded state otherwise). Inner join emits matches
     as they arrive, so an availableNow pass equals the batch join.
     """
-    ev = stream_events(spark, sf_dir)
+    ev = source if source is not None else stream_events(spark, sf_dir)
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .select(
@@ -513,7 +533,9 @@ def streaming_order_pipeline(
     )
 
 
-def streaming_ingest_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_ingest_routing(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """The S2-S4 raw-ingest chain as a REAL streaming query — the shape the
     reference actually is (a webhook endpoint IS an unbounded stream of
     raw bodies; server.js:11-39 processes one element per trigger).
@@ -531,7 +553,7 @@ def streaming_ingest_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.ingest import ingest_with_reason
 
-    ev = stream_events(spark, sf_dir)
+    ev = source if source is not None else stream_events(spark, sf_dir)
     raw = ev.select(
         "event_id",
         F.when(F.col("event_id") % 50 == 0, F.lit("{bad"))
@@ -553,7 +575,9 @@ def streaming_ingest_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_static_enrichment(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Stream-static join (st7): per-record enrichment of the event stream
     against a broadcast BATCH dimension — the third streaming join shape
     next to stream-stream (st4, state-store-backed) and the foreachBatch
@@ -569,7 +593,7 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources.loader import load_table
 
-    ev = stream_events(spark, sf_dir)
+    ev = source if source is not None else stream_events(spark, sf_dir)
     dim = F.broadcast(
         load_table(spark, sf_dir, "customer").select(
             F.col("c_custkey").alias("user_id"), "c_mktsegment"

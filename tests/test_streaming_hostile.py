@@ -1,0 +1,31 @@
+"""Streaming hostile-arrival wave, per-suite (round 15).
+
+tools/streaming_hostile_sim.py replays a controlled multi-batch arrival
+order (one parquet file per micro-batch, mtime-ordered, delivered via
+maxFilesPerTrigger=1) through the SHIPPED st1-st8 pipeline bodies:
+a duplicate event_id straddling a micro-batch boundary, an entirely
+empty batch, an all-dead-letter batch under st6's ingest grid, a
+watermark-advancing event followed by late rows beyond the watermark,
+and a NULL event-time row. Each result is checked against the
+registered DuckDB oracle (complete-mode aggs are arrival-order
+invariant; the stream-stream join equals the batch join; the stateful
+counters' latest emission equals the batch GROUP BY) or the documented
+scenario oracle (st2: exactly-once per event id — the registered oracle
+assumes the shipped fixture's unique-id invariant). This test keeps the
+whole wave green so a Spark behavior change in cross-batch state
+handling surfaces here, not in production.
+"""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+import streaming_hostile_sim  # noqa: E402
+
+
+def test_streaming_suite_survives_hostile_arrival_order(spark):
+    fails = streaming_hostile_sim.run()
+    assert not fails, f"streaming hostile-arrival mismatches: {fails}"
