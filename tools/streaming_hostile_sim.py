@@ -190,10 +190,15 @@ def run() -> list:
     from data_transform_make_spark import corpus
     from data_transform_make_spark.streaming import pipelines as P
 
+    # NO .config() on this builder: getOrCreate() APPLIES builder options
+    # onto an already-running session, so a shuffle.partitions override
+    # here would silently mutate the pytest session shared by every other
+    # test (found r15: it flipped AQE coalescing and broke par1's
+    # ReusedExchange plan pin two files later). Same discipline as
+    # adversarial_sim.py.
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("streaming-hostile-sim")
-        .config("spark.sql.shuffle.partitions", "8")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
