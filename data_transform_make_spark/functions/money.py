@@ -39,12 +39,15 @@ def money_round_units(values, scale: int):
     BIGINT)`` for every finite, in-range float of either sign. NaN/Inf are
     refused loudly: they cannot be represented in integer units and
     silently casting would produce engine-dependent garbage (int64 min on
-    numpy). Scaled magnitudes >= 2^63 are refused the same way (r14
-    ADVICE): numpy's float->int64 cast wraps/is undefined out of range,
-    which would be silent garbage units — inconsistent with the fold's
-    loud-refusal contract. (Magnitudes above 2^53 already exceed float64
-    cent precision; they stay representable and cast exactly, so the
-    refusal bound is the actual overflow line, not the precision line.)
+    numpy). Scaled values outside int64 — >= 2^63 or < -2^63 — are
+    refused the same way (r14 ADVICE): numpy's float->int64 cast
+    wraps/is undefined out of range, which would be silent garbage units
+    — inconsistent with the fold's loud-refusal contract. The bound is
+    asymmetric because int64 is: exactly -2^63 is a representable unit
+    value (the oracle CAST accepts it) while exactly +2^63 is not (r15
+    self-review). (Magnitudes above 2^53 already exceed float64 cent
+    precision; they stay representable and cast exactly, so the refusal
+    bound is the actual overflow line, not the precision line.)
     """
     import numpy as np
 
@@ -55,14 +58,15 @@ def money_round_units(values, scale: int):
             "money_round_units: non-finite money value (NaN/Inf) — "
             "integer-unit folds require finite inputs"
         )
-    # int64 range guard: 2^63 is exactly representable in float64, and
-    # float spacing at that magnitude (1024) means rint/tie-bump cannot
-    # push an in-range value across the line — guarding the scaled input
-    # is sufficient.
-    if (np.abs(arr) >= 2.0**63).any():
+    # int64 range guard: +/-2^63 are exactly representable in float64,
+    # and float spacing at that magnitude (1024) means rint/tie-bump
+    # cannot push an in-range value across the line — guarding the
+    # scaled input is sufficient. Asymmetric like int64 itself: exactly
+    # -2^63 is a valid unit value, exactly +2^63 is not.
+    if ((arr >= 2.0**63) | (arr < -(2.0**63))).any():
         raise ValueError(
-            "money_round_units: scaled magnitude >= 2^63 overflows int64 "
-            "units — refuse loudly rather than wrap"
+            "money_round_units: scaled value outside int64 range "
+            "[-2^63, 2^63) — refuse loudly rather than wrap"
         )
     # rint: correctly-rounded (no `+ 0.5` double-rounding); then bump
     # EXACT .5 remainders away from zero to turn half-even into SQL's

@@ -113,19 +113,25 @@ def test_non_finite_refused_loudly(bad):
         money_round_units(pd.Series([1.0, bad]), 100)
 
 
-@pytest.mark.parametrize("sign", [1.0, -1.0])
-def test_int64_overflow_refused_loudly(sign):
-    # r14 ADVICE: a finite value whose SCALED magnitude reaches 2^63 would
-    # wrap through numpy's out-of-range float->int64 cast — refuse instead.
-    over = sign * (2.0**63) / 100  # scaled value == ±2^63 exactly
-    with pytest.raises(ValueError, match="2\\^63"):
-        money_round_units(pd.Series([1.0, over]), 100)
+def test_int64_overflow_refused_loudly():
+    # r14 ADVICE: a finite value whose SCALED value leaves int64 would
+    # wrap through numpy's out-of-range float->int64 cast — refuse
+    # instead. The bound is asymmetric like int64 (r15 self-review):
+    # scaled +2^63 is out of range and refused...
+    with pytest.raises(ValueError, match="int64"):
+        money_round_units(pd.Series([1.0, (2.0**63) / 100]), 100)
+    # ...and anything strictly below -2^63 is refused too
+    with pytest.raises(ValueError, match="int64"):
+        money_round_units(pd.Series([-(2.0**64) / 100]), 100)
 
 
-def test_just_below_int64_boundary_still_folds():
+def test_int64_boundary_values_still_fold():
     # the largest float64 strictly below 2^63 (spacing 1024 there) must
-    # pass the guard and cast exactly; above-2^53 values are documented as
-    # beyond cent precision but remain exact integer floats
+    # pass the guard and cast exactly, and exactly -2^63 IS a valid int64
+    # unit value (the oracle CAST accepts it) — above-2^53 values are
+    # documented as beyond cent precision but remain exact integer floats
     below = float(np.nextafter(2.0**63, 0.0))
-    out = money_round_units(pd.Series([below / 100, -below / 100]), 100)
-    assert out.tolist() == [int(below), -int(below)]
+    out = money_round_units(
+        pd.Series([below / 100, -below / 100, -(2.0**63) / 100]), 100
+    )
+    assert out.tolist() == [int(below), -int(below), -(2**63)]

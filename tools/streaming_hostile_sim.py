@@ -60,7 +60,6 @@ per-suite in tests/test_streaming_hostile.py.
 """
 
 import datetime
-import math
 import os
 import shutil
 import sys
@@ -152,24 +151,30 @@ def build_fixture(spark) -> str:
     return dst
 
 
-def norm(v):
-    import decimal
-
-    if isinstance(v, float):
-        return "NaN" if math.isnan(v) else v
-    if isinstance(v, decimal.Decimal):
-        return float(v)
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return v
+# one cross-engine normalization for both hostile suites — a norm fix in
+# adversarial_sim applies here automatically (r15 self-review)
+from adversarial_sim import norm  # noqa: E402
 
 
-def _compare(name, sdf, con, sql, fails):
-    srows = sorted((tuple(norm(v) for v in r) for r in sdf.collect()), key=repr)
-    scols = [c.lower() for c in sdf.columns]
-    res = con.execute(sql)
-    dcols = [d[0].lower() for d in res.description]
-    drows = sorted((tuple(norm(v) for v in r) for r in res.fetchall()), key=repr)
+def _compare(name, mk_sdf, con, sql, fails):
+    """Run one scenario with error isolation (the adversarial_sim
+    pattern): a throwing pipeline records an ERROR fail instead of
+    aborting the remaining scenarios."""
+    try:
+        sdf = mk_sdf()
+        srows = sorted(
+            (tuple(norm(v) for v in r) for r in sdf.collect()), key=repr
+        )
+        scols = [c.lower() for c in sdf.columns]
+        res = con.execute(sql)
+        dcols = [d[0].lower() for d in res.description]
+        drows = sorted(
+            (tuple(norm(v) for v in r) for r in res.fetchall()), key=repr
+        )
+    except Exception as e:
+        fails.append(name)
+        print(f"{name}: ERROR {str(e)[:200]}")
+        return
     if scols == dcols and srows == drows:
         print(f"{name}: MATCH rows={len(srows)}")
     else:
@@ -221,12 +226,14 @@ def run() -> list:
         # (late rows still aggregated; NULL ts dropped) -> registered oracle
         _compare(
             "st1_hostile_arrival",
-            P.streaming_window_agg(spark, sf, window="1 hour", source=src()),
+            lambda: P.streaming_window_agg(
+                spark, sf, window="1 hour", source=src()
+            ),
             con, oracles["st1_stream_window_agg"], fails,
         )
         _compare(
             "st8_hostile_arrival",
-            P.streaming_window_agg(
+            lambda: P.streaming_window_agg(
                 spark, sf, window="1 hour", slide="30 minutes", source=src()
             ),
             con, oracles["st8_stream_hopping_window"], fails,
@@ -236,31 +243,35 @@ def run() -> list:
         # session formed and the watermark passed) -> registered oracle
         _compare(
             "st5_hostile_arrival",
-            P.streaming_session_window(spark, sf, gap="30 minutes", source=src()),
+            lambda: P.streaming_session_window(
+                spark, sf, gap="30 minutes", source=src()
+            ),
             con, oracles["st5_stream_session_window"], fails,
         )
         # st2: exactly-once under straddling dup + union-double + late
         # arrivals -> SCENARIO oracle (see module docstring)
         _compare(
             "st2_hostile_arrival",
-            P.streaming_dedup_count(spark, sf, source=src()),
+            lambda: P.streaming_dedup_count(spark, sf, source=src()),
             con, ST2_SCENARIO_ORACLE, fails,
         )
         # st3: latest emitted row per user (update mode emits one row per
         # key per batch; n is monotone) == batch GROUP BY oracle
-        raw3 = P.streaming_stateful_counters(spark, sf, source=src())
-        latest = (
-            raw3.withColumn(
-                "__rk",
-                F.row_number().over(
-                    Window.partitionBy("user_id").orderBy(F.col("n").desc())
-                ),
+        def st3_latest():
+            raw3 = P.streaming_stateful_counters(spark, sf, source=src())
+            return (
+                raw3.withColumn(
+                    "__rk",
+                    F.row_number().over(
+                        Window.partitionBy("user_id").orderBy(F.col("n").desc())
+                    ),
+                )
+                .filter(F.col("__rk") == 1)
+                .drop("__rk")
             )
-            .filter(F.col("__rk") == 1)
-            .drop("__rk")
-        )
+
         _compare(
-            "st3_hostile_arrival", latest, con,
+            "st3_hostile_arrival", st3_latest, con,
             oracles["st3_stream_stateful_counters"], fails,
         )
         # st4: availableNow inner join equals the batch join (state cleanup
@@ -269,7 +280,7 @@ def run() -> list:
         # HERE as a contract change.
         _compare(
             "st4_hostile_arrival",
-            P.streaming_click_purchase_join(
+            lambda: P.streaming_click_purchase_join(
                 spark, sf, horizon_minutes=10, source=src()
             ),
             con, oracles["st4_stream_stream_join"], fails,
@@ -278,14 +289,14 @@ def run() -> list:
         # through the ingest router -> registered oracle (grid mirrors)
         _compare(
             "st6_hostile_arrival",
-            P.streaming_ingest_routing(spark, sf, source=src()),
+            lambda: P.streaming_ingest_routing(spark, sf, source=src()),
             con, oracles["st6_stream_ingest_routing"], fails,
         )
         # st7: stream-static enrichment is stateless per batch -> registered
         # oracle regardless of arrival order
         _compare(
             "st7_hostile_arrival",
-            P.streaming_static_enrichment(spark, sf, source=src()),
+            lambda: P.streaming_static_enrichment(spark, sf, source=src()),
             con, oracles["st7_stream_static_join"], fails,
         )
         return fails
