@@ -222,6 +222,35 @@ def run() -> list:
             # a fresh one-file-per-micro-batch source per scenario
             return P.stream_events(spark, sf, max_files_per_trigger=1)
 
+        # Arrival-order self-check: the hostile states only exist if the
+        # files really arrive one-per-batch in mtime order (dup AFTER its
+        # original, late rows AFTER the watermark advance). Every scenario
+        # oracle is deliberately arrival-order invariant, so a silent
+        # reordering would not FAIL them — it would quietly stop testing
+        # straddles and lateness. Assert the delivery order first.
+        delivered: list = []
+        q = (
+            src()
+            .writeStream.foreachBatch(
+                lambda df, eid: delivered.append(
+                    (eid, sorted(r.event_id for r in df.collect()))
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        expected = [
+            (i, sorted(r[0] for r in rows)) for i, rows in enumerate(BATCHES)
+        ]
+        got = sorted(delivered)
+        if got != expected:
+            print(f"arrival_order: MISMATCH got {got} expected {expected}")
+            return ["arrival_order"]
+        print(f"arrival_order: MATCH ({len(expected)} batches, one per file)")
+
         # st1/st8: complete-mode windowed aggs are arrival-order invariant
         # (late rows still aggregated; NULL ts dropped) -> registered oracle
         _compare(
