@@ -41,6 +41,11 @@ QUERIES = sys.argv[1:] or [
 
 
 def main() -> None:
+    if not os.path.isdir(SF1):
+        raise SystemExit(
+            f"{SF1} not found — the sf1.0 corpus is regenerated per session: "
+            "run `python tools/gen_scale_docs.py` first"
+        )
     spark = get_spark("streaming-scaling")
     qs = corpus.queries()
 
