@@ -4215,6 +4215,21 @@ def ll3_training_corpus_capped(spark: SparkSession, sf_dir: str, eager: bool = T
 # mm2, mm3, mm4, n2, n3b, pc1, q6, sk1) lead the r16 rotation. After
 # r15 no key of any kind has a row older than r13, and every
 # r14-changed-pair key holds a post-change external row.
+#
+# ROUND 16 (registry FROZEN at 109 — steady rotation, per the r15
+# verdict directive 1): (a) the 16 r13-stale keys (the r15 comment's
+# hand-off list, re-verified this round against all fifteen
+# CORRECTNESS files); then (b) the 5 r14-latest streaming keys whose
+# shared `stream_events` source path gained the
+# `max_files_per_trigger` parameter in r15 (st2, st3, st4, st5, st7
+# — signature-additive and re-certified in-session, but the
+# d5/par1/st3 "fresh external rows land with the change" precedent
+# says they front the fill); then (c) the alphabetically-first 22 of
+# the remaining 38 r14-latest keys. The remaining 16 r14-stale keys
+# (lm1, mf1, mix1, mo1, n3, sql1, t5, t7, ta1, ta2, up1, w3, w6, w7,
+# x1, x2) lead the r17 rotation. After r16 no key of any kind has a
+# row older than r14, and every r15-changed-pair key (the
+# max_files_per_trigger five) holds a post-change external row.
 _DRIVER_WINDOW = [
     # core anchors (certified every round)
     "p1_status_gate",
@@ -4224,53 +4239,54 @@ _DRIVER_WINDOW = [
     "a1_a2_order_counter_deltas",
     "q1_pricing_summary",
     "st1_stream_window_agg",
-    # (a) the 16 r12-stale keys; the 7 r14-touched ones first
-    "ta4_doc_fingerprint",
-    "w1_running_total",
-    "q5_local_supplier_volume",
-    "st8_stream_hopping_window",
-    "unp1_unpivot_measures",
-    "ta3_quality_score",
-    "w5_global_topk",
-    "par1_paragraph_dedup",
-    "q3_shipping_priority",
-    "rc1_recursive_hierarchy",
-    "s1_set_ops",
-    "sd1_substring_dup_report",
-    "ta5_repetition",
-    "tc1_line_cleaning",
-    "u1_string_funcs",
-    "w4_tumbling_window",
-    # (b) the 20 r13-latest keys changed in r14 (fresh rows land with
-    # the change)
-    "ga1_pandas_grouped_agg",
-    "pu1_scalar_pandas_udf",
-    "udtf1_lateral_tokenize",
-    "tf1_keyword_topk",
-    "d3b_minhash_lsh_md5",
-    "st6_stream_ingest_routing",
-    "hop1_hopping_window_agg",
-    "n1_topk_cosine",
-    "d5_embedding_near_dup",
-    "w2_topk_per_group",
-    "w8_percent_rank",
-    "q4_order_priority",
-    "ch1_doc_chunks",
-    "samp1_stratified_sample",
-    "sp1_hash_split",
-    "pack1_token_budget",
-    "pii1_redaction",
-    "diff1_snapshot_diff",
-    "mm2b_media_decode_oracle",
-    "mm4b_resize_oracle",
-    # (c) alphabetically-first 7 of the 23 unchanged r13-stale keys
-    "apx1_sketch_aggs",
-    "cs1_correlated_subquery",
-    "d2b_ngram_jaccard_capped",
-    "d3_minhash_lsh",
-    "d4_simhash",
-    "d4b_simhash_md5",
-    "d5b_embedding_near_dup_lsh",
+    # (a) the 16 r13-stale keys (the r15 hand-off list, verified)
+    "d5c_embedding_near_dup_lsh_planted",
+    "d5d_embedding_lsh_oracle",
+    "d6_editdist_recheck",
+    "g1_rollup",
+    "g2_cube",
+    "gf1_calendar_gap_fill",
+    "j4_semi_anti_join",
+    "mm1_media_metadata",
+    "mm2_media_decode",
+    "mm3_frame_sample",
+    "mm4_resize",
+    "n2_lsh_topk",
+    "n3b_ivf_topk_oracle",
+    "pc1_percentiles",
+    "q6_filter_agg",
+    "sk1_salted_join",
+    # (b) the 5 streaming keys whose shared stream_events source
+    # gained max_files_per_trigger in r15 (fresh rows land with the
+    # change)
+    "st2_stream_dedup",
+    "st3_stream_stateful_counters",
+    "st4_stream_stream_join",
+    "st5_stream_session_window",
+    "st7_stream_static_join",
+    # (c) alphabetically-first 22 of the remaining 38 r14-latest keys
+    "a3_insufficient_stock",
+    "a4_a6_status_transitions",
+    "a5_counter_pivot",
+    "agg1_ordered_collect",
+    "arr1_array_hofs",
+    "bm25_1_query_ranking",
+    "cd1_distinct_agg",
+    "cr1_compression_ratio",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard",
+    "dc1_dedup_clusters",
+    "dc2_dedup_clusters_capped",
+    "dec1_decontamination",
+    "dq1_column_profile",
+    "dt1_date_buckets",
+    "g3_grouping_sets",
+    "h1_having",
+    "j2_as_of_join",
+    "j3_range_join",
+    "ll1_training_corpus",
+    "ll2_training_corpus_clustered",
+    "ll3_training_corpus_capped",
 ]
 
 
