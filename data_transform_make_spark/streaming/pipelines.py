@@ -82,6 +82,54 @@ def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
     return result.sparkSession.table(name)
 
 
+def _run_to_memory_checkpointed(result: DataFrame, mode: str, checkpoint: str) -> DataFrame:
+    """Like ``_run_to_memory`` but on a DURABLE checkpoint, so a later
+    invocation with the same ``checkpoint`` RESUMES the query from its
+    state store instead of starting fresh — the restart-mid-wave harness
+    (r15 verdict item 4; tools/streaming_hostile_sim.py).
+
+    Complete mode uses the memory sink directly: Spark permits checkpoint
+    recovery there because the full table is recomputed from restored
+    state each trigger. Update mode's memory sink is NOT recovery-capable
+    (Spark refuses the restart), so emulate its append-per-trigger
+    content shape with a recovery-capable ``foreachBatch`` parquet append
+    at ``<checkpoint>_emit``: the returned frame reads the accumulated
+    emissions across ALL runs sharing the checkpoint — one row per (key,
+    batch), exactly what the memory table holds in update mode. Clean
+    stop/restart replays no committed batch, so the append is exact here;
+    a mid-batch crash could re-append its batch (foreachBatch is
+    at-least-once), which the production path handles with MERGE
+    (streaming_order_pipeline) — this helper is the deterministic test
+    harness, not a production sink.
+    """
+    if mode == "complete":
+        name = f"mem_{uuid.uuid4().hex[:8]}"
+        q = (
+            result.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        return result.sparkSession.table(name)
+    out = checkpoint + "_emit"
+    q = (
+        result.writeStream.outputMode(mode)
+        .foreachBatch(lambda df, _eid: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    return result.sparkSession.read.parquet(out)
+
+
 def streaming_window_agg(
     spark: SparkSession,
     sf_dir: str,
@@ -128,6 +176,7 @@ def streaming_session_window(
     gap: str = "30 minutes",
     watermark: str = "1 hour",
     source: DataFrame | None = None,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Watermarked session-window aggregation (`session_window`): per-user
     sessions whose windows merge while consecutive events are <= gap apart
@@ -153,11 +202,16 @@ def streaming_session_window(
             "n_events",
         )
     )
+    if checkpoint is not None:
+        return _run_to_memory_checkpointed(agg, "complete", checkpoint)
     return _run_to_memory(agg, "complete")
 
 
 def streaming_dedup_count(
-    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Cross-batch idempotency: duplicate the stream (union with itself),
     dedup on event_id within the watermark, count per event_type.
@@ -172,11 +226,16 @@ def streaming_dedup_count(
         ["event_id"]
     )
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n"))
+    if checkpoint is not None:
+        return _run_to_memory_checkpointed(agg, "complete", checkpoint)
     return _run_to_memory(agg, "complete")
 
 
 def streaming_stateful_counters(
-    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (event count, value-in-cents sum) counters — the in-engine
@@ -217,7 +276,45 @@ def streaming_stateful_counters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    if checkpoint is not None:
+        return _run_to_memory_checkpointed(res, "update", checkpoint)
     return _run_to_memory(res, "update")
+
+
+def streaming_counters_native(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """The st3 per-user (event count, cents sum) counters as a NATIVE
+    update-mode streaming aggregation — the production default whenever
+    the fold is expressible as built-in aggregates.
+
+    Same semantics as ``streaming_stateful_counters`` (identity-tested on
+    the full events fixture, tests/test_streaming.py), entirely JVM-side:
+    no Arrow serialization, no Python worker in the state path. The r15
+    A/B (tools/r15_evidence.py st3ab) measured it ×1.45 faster at sf0.1
+    and ×2.4 at sf1.0, widening with state-key count — the gap is the
+    per-key Arrow/Python round-trip that a native HashAggregate over the
+    state store never pays (SCALE.md r15/r16).
+
+    Rounding parity: Spark ``round`` on DOUBLE goes through
+    ``BigDecimal.valueOf`` (shortest-decimal) with HALF_UP — half away
+    from zero on both signs, no ``+0.5`` double-rounding — so the cents
+    it folds equal ``functions/money.py:money_round_units`` on exact
+    ties, one-ULP near-ties, and both signs (the r13/r14 divergence
+    shapes). The identity test pins this, not just the argument.
+
+    Reach for ``streaming_stateful_counters`` (Arrow) only when the fold
+    is NOT expressible natively: conditional state resets, multi-field
+    state machines, or loud-refusal semantics (non-finite/out-of-range
+    money raises there; native ``round`` would fold NaN silently to NULL
+    under ``sum``).
+    """
+    ev = source if source is not None else stream_events(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    return _run_to_memory(agg, "update")
 
 
 def streaming_click_purchase_join(

@@ -10,6 +10,7 @@ from data_transform_make_spark.streaming.pipelines import (
     streaming_click_purchase_join,
     streaming_dedup_count,
     streaming_order_pipeline,
+    streaming_counters_native,
     streaming_session_window,
     streaming_stateful_counters,
     streaming_window_agg,
@@ -125,6 +126,27 @@ def test_stream_stateful_counters_match_batch(spark, sf_dir):
         .collect()
     }
     assert got == want  # final emitted state == batch aggregate
+
+
+def test_native_counters_identical_to_arrow_fold(spark, sf_dir):
+    """The r15 st3ab A/B's identity assert, made permanent (r15 verdict
+    item 2): the shipped native update-mode fold
+    (``streaming_counters_native`` — measured ×1.45–2.4 faster, the
+    production default for expressible folds) emits EXACTLY the Arrow
+    stateful form's counters on the full events fixture — every user,
+    exact cents. This pins the rounding-parity argument (Spark ``round``
+    HALF_UP on shortest-decimal == money_round_units on ties/near-ties)
+    with data, not just the docstring."""
+    arrow = {
+        r.user_id: (r.n, r.total_cents)
+        for r in streaming_stateful_counters(spark, sf_dir).collect()
+    }
+    native = {
+        r.user_id: (r.n, r.total_cents)
+        for r in streaming_counters_native(spark, sf_dir).collect()
+    }
+    assert native == arrow
+    assert len(native) > 0
 
 
 def test_pandas_money_fold_matches_sql_round_on_float_ties():

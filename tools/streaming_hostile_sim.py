@@ -55,7 +55,18 @@ Cross-batch contracts pinned by this wave (probes P1–P3, r15):
     batch); the LATEST row per key (max n — the counter is monotone) must
     equal the batch GROUP BY oracle.
 
-Run: python tools/streaming_hostile_sim.py (~2 min). The same wave runs
+Restart-mid-wave (r16, r15 verdict item 4): the wave also stops each
+state-store operator (st2 dedup, st3 applyInPandasWithState, st5 session
+windows) after batch 1 and restarts it on the SAME checkpoint over the
+remaining files — the state store must be restored and continued, with
+the final result equal to BOTH the uninterrupted run and the oracle. The
+split is placed so live state crosses the restart (an open session that
+must merge a late row, a counter that must continue rather than recount).
+Update-mode emissions are accumulated via a recovery-capable foreachBatch
+parquet append (streaming/pipelines.py:_run_to_memory_checkpointed) —
+the memory sink only supports checkpoint recovery in complete mode.
+
+Run: python tools/streaming_hostile_sim.py (~3 min). The same wave runs
 per-suite in tests/test_streaming_hostile.py.
 """
 
@@ -140,7 +151,14 @@ def build_fixture(spark) -> str:
     for i, rows in enumerate(BATCHES):
         sub = os.path.join(workdir, f"b{i}")
         spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(sub)
-        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        parts = [f for f in os.listdir(sub) if f.endswith(".parquet")]
+        # one part per batch is what the arrival-order self-check relies
+        # on; a Spark that skips the empty batch's file would fail here
+        # with the batch named, not as a bare IndexError (ADVICE r15)
+        assert len(parts) == 1, (
+            f"batch b{i}: expected exactly one part file, got {parts}"
+        )
+        part = parts[0]
         path = os.path.join(ev_dir, f"batch_{i:03d}.parquet")
         shutil.move(os.path.join(sub, part), path)
         os.utime(path, (base_mtime + i * 100, base_mtime + i * 100))
@@ -327,6 +345,123 @@ def run() -> list:
             "st7_hostile_arrival",
             lambda: P.streaming_static_enrichment(spark, sf, source=src()),
             con, oracles["st7_stream_static_join"], fails,
+        )
+
+        # ---- restart-mid-wave (r16, closing the r15 verdict item 4): the
+        # wave above replays hostile ARRIVAL orders in one uninterrupted
+        # run; this block replays the one cross-batch state hazard that
+        # leaves out — a STATE-STORE operator stopped mid-wave and
+        # restarted on its checkpoint. Mechanism: run 1 sees only the
+        # first SPLIT batch files and availableNow stops after catching
+        # up (a clean stop at an exact batch boundary); the remaining
+        # files are then added and a NEW query starts on the SAME
+        # checkpoint — Structured Streaming must restore the state store
+        # and continue. Final result must equal BOTH the uninterrupted
+        # run and the batch oracle.
+        #
+        # SPLIT=2 puts real state across the restart: st5 — user 2's open
+        # session (09:05–09:40, formed in run 1) must MERGE the late b5
+        # 09:15 purchase after restart; st2 — the dedup-ids + count state
+        # must survive (a lost store under-counts run-1 event types in
+        # the complete-mode output); st3 — user 2's counter must CONTINUE
+        # to n=5 (a state-less restart emits n=1 for b5's purchase and
+        # latest-per-key reads 4).
+        SPLIT = 2
+        src_events = os.path.join(sf, "events.parquet")
+
+        def grow_fixture(d, lo, hi):
+            for i in range(lo, hi):
+                fn = f"batch_{i:03d}.parquet"
+                # copy2 preserves the ascending mtimes the delivery
+                # order depends on
+                shutil.copy2(
+                    os.path.join(src_events, fn),
+                    os.path.join(d, "events.parquet", fn),
+                )
+
+        def restarted(pipeline):
+            d = tempfile.mkdtemp(prefix="restart_", dir=os.path.dirname(sf))
+            os.makedirs(os.path.join(d, "events.parquet"))
+            grow_fixture(d, 0, SPLIT)
+            ckpt = os.path.join(d, "ckpt")
+            pipeline(d, ckpt)  # run 1: batches [0, SPLIT), stops cleanly
+            grow_fixture(d, SPLIT, len(BATCHES))
+            return pipeline(d, ckpt)  # run 2: resumes from the state store
+
+        def rows_of(df):
+            return sorted(
+                (tuple(norm(v) for v in r) for r in df.collect()), key=repr
+            )
+
+        def restart_scenario(name, pipeline, uninterrupted, oracle):
+            try:
+                res = restarted(pipeline)
+                res_rows = rows_of(res)
+                base_rows = rows_of(uninterrupted())
+            except Exception as e:
+                fails.append(name)
+                print(f"{name}: ERROR {str(e)[:200]}")
+                return
+            if res_rows != base_rows:
+                fails.append(name)
+                diff = [
+                    (x, y) for x, y in zip(res_rows, base_rows) if x != y
+                ][:2]
+                print(
+                    f"{name}: MISMATCH vs uninterrupted run "
+                    f"{len(res_rows)} vs {len(base_rows)} rows, "
+                    f"first-diffs {diff}"
+                )
+                return
+            # equals the uninterrupted run; now the oracle
+            _compare(name, lambda: res, con, oracle, fails)
+
+        def batched(d):
+            return P.stream_events(spark, d, max_files_per_trigger=1)
+
+        restart_scenario(
+            "st5_restart_mid_wave",
+            lambda d, ck: P.streaming_session_window(
+                spark, d, gap="30 minutes", source=batched(d), checkpoint=ck
+            ),
+            lambda: P.streaming_session_window(
+                spark, sf, gap="30 minutes", source=src()
+            ),
+            oracles["st5_stream_session_window"],
+        )
+        restart_scenario(
+            "st2_restart_mid_wave",
+            lambda d, ck: P.streaming_dedup_count(
+                spark, d, source=batched(d), checkpoint=ck
+            ),
+            lambda: P.streaming_dedup_count(spark, sf, source=src()),
+            ST2_SCENARIO_ORACLE,
+        )
+
+        def latest_per_user(raw):
+            return (
+                raw.withColumn(
+                    "__rk",
+                    F.row_number().over(
+                        Window.partitionBy("user_id").orderBy(F.col("n").desc())
+                    ),
+                )
+                .filter(F.col("__rk") == 1)
+                .drop("__rk")
+            )
+
+        restart_scenario(
+            "st3_restart_mid_wave",
+            # update mode: the checkpointed runner accumulates every
+            # emitted (key, batch) row across BOTH runs; latest-per-user
+            # over the union is the counter's final state
+            lambda d, ck: latest_per_user(
+                P.streaming_stateful_counters(
+                    spark, d, source=batched(d), checkpoint=ck
+                )
+            ),
+            st3_latest,
+            oracles["st3_stream_stateful_counters"],
         )
         return fails
     finally:
