@@ -101,6 +101,14 @@ def audit(name: str, plan: str) -> list[str]:
 
 
 def main() -> int:
+    if "--check" in sys.argv and "--full" in sys.argv:
+        # --full inlines plan blocks that the committed compact report
+        # doesn't carry, so the diff would ALWAYS report STALE regardless
+        # of engine state (ADVICE r15). Reject the combination outright.
+        print("error: --check and --full are mutually exclusive — the "
+              "committed EXPLAIN_AUDIT.md is the compact form; check "
+              "against what is committed")
+        return 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark("explain-audit")
     qs = corpus.queries()
@@ -177,7 +185,18 @@ def main() -> int:
             diff = list(difflib.unified_diff(
                 committed.splitlines(), report.splitlines(),
                 "committed", "regenerated", lineterm="", n=0))
-            print(f"check: {path} is STALE — {len(diff)} diff lines:")
+            # distinguish a rule FAILURE surfacing in the regenerated
+            # report from plain value drift (ADVICE r15): both used to
+            # print identically as "STALE"
+            fail_lines = [l for l in diff
+                          if l[:1] in "+-" and l[1:].lstrip().startswith("FAIL")]
+            if fail_lines:
+                print(f"check: {path} diff contains RULE-FAILURE status "
+                      f"changes ({len(fail_lines)} FAIL lines) — this is "
+                      "an audit failure, not mere staleness:")
+            else:
+                print(f"check: {path} is STALE — {len(diff)} diff lines "
+                      "(value drift; no FAIL-status changes):")
             for line in diff[:40]:
                 print(line)
     else:

@@ -45,27 +45,41 @@ def probe_spans(spark) -> None:
     qs = corpus.queries()
     for name in ("ll2_training_corpus_clustered", "ll3_training_corpus_capped"):
         reads = []
-        extra_exchange = None
+        exchanges = []
         for _ in range(2):
             df = qs[name](spark, SF001, eager=False)
             df.collect()
             plan = executed_plan(df)
             reads.append(len(set(re.findall(r"codegen id : (\d+)", plan))))
-            # the 7-span variant's signature: an Exchange feeding the
-            # localCheckpoint scan (AQE re-shuffling the checkpoint output)
-            ops = [
-                l.strip()
-                for l in plan.splitlines()
-                if re.match(r"\s*\(\d+\)", l)
-            ]
-            for i, op in enumerate(ops):
-                if "Scan ExistingRDD" in op:
-                    extra_exchange = i >= 1 and "AQEShuffleRead" in ops[i - 1]
-                    break
+            # the 7-span variant's signature: AQE re-shuffles the
+            # localCheckpoint scan's output. Detect it in the TREE section
+            # by indentation: an AQEShuffleRead whose subtree (strictly
+            # deeper indent until the next node at <= its depth) contains
+            # the Scan ExistingRDD — i.e. the re-shuffle is the scan's
+            # ancestor in dataflow, not merely the previous detail line
+            # (detail blocks are node-number-ordered, not adjacency-
+            # ordered; ADVICE r15).
+            tree = []
+            for ln in plan.splitlines():
+                # tree-section lines: indent glyphs, op name, "(N)" at end
+                m = re.match(r"^([ :+*-]*)([A-Za-z].*)\((\d+)\)\s*$", ln)
+                if m:
+                    tree.append((len(m.group(1)), m.group(2).strip()))
+                elif tree and not ln.strip():
+                    break  # tree section ends at the first blank line
+            reshuffled = False
+            for i, (d, op) in enumerate(tree):
+                if op.startswith("AQEShuffleRead"):
+                    for d2, op2 in tree[i + 1 :]:
+                        if d2 <= d:
+                            break  # left the AQEShuffleRead's subtree
+                        if "Scan ExistingRDD" in op2:
+                            reshuffled = True
+            exchanges.append(reshuffled)
         print(
             f"SPANS {name}: reads {reads} "
             f"(each 6 or 7; run-to-run variation is the finding); "
-            f"checkpoint-scan re-shuffled on last read: {extra_exchange} "
+            f"checkpoint-scan re-shuffled per read: {exchanges} "
             f"(True <=> the 7-span variant)"
         )
 
@@ -123,22 +137,16 @@ def probe_ch1(spark) -> None:
 
 
 def probe_st3ab(spark) -> None:
-    from pyspark.sql import functions as F
-
     from data_transform_make_spark import corpus
     from data_transform_make_spark.streaming import pipelines as P
 
     qs = corpus.queries()
 
+    # r16: the native form is now the shipped first-class API (r15
+    # verdict item 2) — the probe times the function users call, so the
+    # A/B can't drift from the product.
     def jvm_counters(sf_dir):
-        ev = P.stream_events(spark, sf_dir)
-        agg = ev.groupBy("user_id").agg(
-            F.count("*").alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
-                "total_cents"
-            ),
-        )
-        return P._run_to_memory(agg, "update")
+        return P.streaming_counters_native(spark, sf_dir)
 
     a = {
         r.user_id: (r.n, r.total_cents)
