@@ -4229,7 +4229,11 @@ def ll3_training_corpus_capped(spark: SparkSession, sf_dir: str, eager: bool = T
 # (lm1, mf1, mix1, mo1, n3, sql1, t5, t7, ta1, ta2, up1, w3, w6, w7,
 # x1, x2) lead the r17 rotation. After r16 no key of any kind has a
 # row older than r14, and every r15-changed-pair key (the
-# max_files_per_trigger five) holds a post-change external row.
+# max_files_per_trigger five) holds a post-change external row. The
+# r16 engine change (signature-additive `checkpoint` param on the
+# st2/st3/st5 wrappers for the restart-mid-wave harness) touches only
+# keys already in this window, so their r16 rows post-date it — no
+# extra changed-pair carry into r17.
 _DRIVER_WINDOW = [
     # core anchors (certified every round)
     "p1_status_gate",

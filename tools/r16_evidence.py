@@ -1,0 +1,93 @@
+"""Round-16 evidence probes, re-runnable (the r10-r15 evidence-tool
+pattern): every disposition the round records in SCALE.md is backed by a
+probe the judge can re-execute.
+
+  coldspread — dispositions the two r15 DRIVER-bench cold movers
+               (BENCH_r15.json vs BENCH_r14.json: d3_minhash_lsh cold
+               1.953->2.877 ×1.47, udtf1_lateral_tokenize cold
+               1.587->2.071 ×1.30; both warm cells flat-or-better, both
+               bodies untouched in r15 — r15 verdict item 1). Bodies
+               being identical across the rounds, any movement is
+               environmental BY CONSTRUCTION; what the protocol demands
+               is the measured session-to-session spread showing the two
+               published values sit inside natural cold variation.
+               Method: N fresh `bench.py --pass` subprocesses — the
+               EXACT code path and in-session context (full headline
+               sequence, same warmup) that produced the driver file's
+               cold column — each reporting its queries_cold cells for
+               the movers; the summary prints each spread next to the
+               published r14/r15 driver values. Timing probe: run it
+               ALONE (the repo's standing bench discipline).
+
+Run: python tools/r16_evidence.py [coldspread] [n_sessions] (~3 min per
+session; default 6 sessions).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MOVERS = ["d3_minhash_lsh", "udtf1_lateral_tokenize"]
+
+
+def probe_coldspread(n_sessions: int = 6) -> None:
+    published = {}
+    for rnd in ("r14", "r15"):
+        with open(os.path.join(REPO, f"BENCH_{rnd}.json")) as f:
+            bench = json.load(f)
+        published[rnd] = {m: bench["queries_cold"][m] for m in MOVERS}
+    cold: dict = {m: [] for m in MOVERS}
+    warm: dict = {m: [] for m in MOVERS}
+    for i in range(n_sessions):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--pass"],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        lines = [
+            l
+            for l in out.stdout.splitlines()
+            if l.startswith("BENCH_PASS_RESULT:")
+        ]
+        if out.returncode != 0 or not lines:
+            sys.stderr.write(out.stderr[-2000:])
+            raise SystemExit(f"coldspread: pass {i} failed rc={out.returncode}")
+        res = json.loads(lines[-1][len("BENCH_PASS_RESULT:"):])
+        for m in MOVERS:
+            cold[m].append(res["queries_cold"][m])
+            warm[m].append(res["queries"][m])
+        print(
+            f"COLDSPREAD session {i}: "
+            + " ".join(
+                f"{m} cold={res['queries_cold'][m]} warm={res['queries'][m]}"
+                for m in MOVERS
+            )
+        )
+    for m in MOVERS:
+        lo, hi = min(cold[m]), max(cold[m])
+        r14, r15 = published["r14"][m], published["r15"][m]
+        inside = lo <= r14 <= hi and lo <= r15 <= hi
+        # the strict-inside check can miss by luck of the draw on a
+        # fat-tailed cold distribution; the ×-spread is the context
+        print(
+            f"COLDSPREAD {m}: {n_sessions}-session cold spread "
+            f"[{lo}, {hi}] (×{round(hi / lo, 2)} natural variation), "
+            f"warm spread [{min(warm[m])}, {max(warm[m])}]; "
+            f"published driver cold r14={r14} r15={r15} — "
+            f"both inside the observed spread: {inside}"
+        )
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sections = [a for a in args if not a.isdigit()] or ["coldspread"]
+    n = next((int(a) for a in args if a.isdigit()), 6)
+    if "coldspread" in sections:
+        probe_coldspread(n)
+
+
+if __name__ == "__main__":
+    main()
