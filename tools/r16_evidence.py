@@ -34,10 +34,24 @@ MOVERS = ["d3_minhash_lsh", "udtf1_lateral_tokenize"]
 
 def probe_coldspread(n_sessions: int = 6) -> None:
     published = {}
+    import re
+
     for rnd in ("r14", "r15"):
         with open(os.path.join(REPO, f"BENCH_{rnd}.json")) as f:
             bench = json.load(f)
-        published[rnd] = {m: bench["queries_cold"][m] for m in MOVERS}
+        # the driver wraps bench.py's JSON under "parsed" when it parsed,
+        # else keeps only the output "tail" string (r14/r15 files carry
+        # parsed=null; the cold cells live after the "queries_cold" key
+        # inside the tail)
+        parsed = bench.get("parsed")
+        if parsed:
+            published[rnd] = {m: parsed["queries_cold"][m] for m in MOVERS}
+        else:
+            cold_part = bench["tail"].split('"queries_cold"', 1)[1]
+            published[rnd] = {
+                m: float(re.search(rf'"{m}": ([0-9.]+)', cold_part).group(1))
+                for m in MOVERS
+            }
     cold: dict = {m: [] for m in MOVERS}
     warm: dict = {m: [] for m in MOVERS}
     for i in range(n_sessions):
