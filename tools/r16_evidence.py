@@ -25,6 +25,7 @@ session; default 6 sessions).
 
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -34,8 +35,6 @@ MOVERS = ["d3_minhash_lsh", "udtf1_lateral_tokenize"]
 
 def probe_coldspread(n_sessions: int = 6) -> None:
     published = {}
-    import re
-
     for rnd in ("r14", "r15"):
         with open(os.path.join(REPO, f"BENCH_{rnd}.json")) as f:
             bench = json.load(f)
