@@ -4231,9 +4231,9 @@ def ll3_training_corpus_capped(spark: SparkSession, sf_dir: str, eager: bool = T
 # row older than r14, and every r15-changed-pair key (the
 # max_files_per_trigger five) holds a post-change external row. The
 # r16 engine change (signature-additive `checkpoint` param on the
-# st2/st3/st5 wrappers for the restart-mid-wave harness) touches only
-# keys already in this window, so their r16 rows post-date it — no
-# extra changed-pair carry into r17.
+# st2/st3/st4/st5 wrappers for the restart-mid-wave harness) touches
+# only keys already in this window, so their r16 rows post-date it —
+# no extra changed-pair carry into r17.
 _DRIVER_WINDOW = [
     # core anchors (certified every round)
     "p1_status_gate",

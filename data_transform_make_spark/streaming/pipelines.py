@@ -322,6 +322,7 @@ def streaming_click_purchase_join(
     sf_dir: str,
     horizon_minutes: int = 10,
     source: DataFrame | None = None,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Stream-stream inner join: attribute each purchase to the clicks by
     the same user in the preceding ``horizon_minutes``.
@@ -362,6 +363,8 @@ def streaming_click_purchase_join(
         "purchase_id",
         (F.round(F.col("purchase_value") * 100)).cast("long").alias("purchase_cents"),
     )
+    if checkpoint is not None:
+        return _run_to_memory_checkpointed(joined, "append", checkpoint)
     return _run_to_memory(joined, "append")
 
 

@@ -12,8 +12,8 @@ invariant; the stream-stream join equals the batch join; the stateful
 counters' latest emission equals the batch GROUP BY) or the documented
 scenario oracle (st2: exactly-once per event id — the registered oracle
 assumes the shipped fixture's unique-id invariant). Since r16 the wave
-also restarts each state-store operator (st2/st3/st5) mid-wave on its
-checkpoint — stop after batch 1, resume over the remaining files — and
+also restarts each state-store operator (st2/st3/st4/st5) mid-wave on
+its checkpoint — stop after batch 1, resume over the remaining files — and
 requires the final result to equal both the uninterrupted run and the
 oracle. This test keeps the whole wave green so a Spark behavior change
 in cross-batch state handling surfaces here, not in production.

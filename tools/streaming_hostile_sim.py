@@ -56,15 +56,17 @@ Cross-batch contracts pinned by this wave (probes P1–P3, r15):
     equal the batch GROUP BY oracle.
 
 Restart-mid-wave (r16, r15 verdict item 4): the wave also stops each
-state-store operator (st2 dedup, st3 applyInPandasWithState, st5 session
-windows) after batch 1 and restarts it on the SAME checkpoint over the
-remaining files — the state store must be restored and continued, with
-the final result equal to BOTH the uninterrupted run and the oracle. The
-split is placed so live state crosses the restart (an open session that
-must merge a late row, a counter that must continue rather than recount).
-Update-mode emissions are accumulated via a recovery-capable foreachBatch
-parquet append (streaming/pipelines.py:_run_to_memory_checkpointed) —
-the memory sink only supports checkpoint recovery in complete mode.
+state-store operator (st2 dedup, st3 applyInPandasWithState, st4
+stream-stream join, st5 session windows) after batch 1 and restarts it
+on the SAME checkpoint over the remaining files — the state store must
+be restored and continued, with the final result equal to BOTH the
+uninterrupted run and the oracle. The split is placed so live state
+crosses the restart (an open session that must merge a late row, a
+counter that must continue rather than recount, a buffered click that a
+late purchase must still join). Update/append-mode emissions are
+accumulated via a recovery-capable foreachBatch parquet append
+(streaming/pipelines.py:_run_to_memory_checkpointed) — the memory sink
+only supports checkpoint recovery in complete mode.
 
 Run: python tools/streaming_hostile_sim.py (~3 min). The same wave runs
 per-suite in tests/test_streaming_hostile.py.
@@ -436,6 +438,25 @@ def run() -> list:
             ),
             lambda: P.streaming_dedup_count(spark, sf, source=src()),
             ST2_SCENARIO_ORACLE,
+        )
+        # st4: the fourth state-store shape — BUFFERED JOIN state. The
+        # late b5 purchase (user 2, 09:15, run 2) must attribute to click
+        # 1003 and its straddling duplicate, BOTH buffered in run 1's
+        # click-side state: a lost buffer drops those match rows, an
+        # ignored checkpoint re-emits run-1 matches twice (append mode
+        # accumulates). Watermark trajectory is identical to the
+        # uninterrupted run, so if a Spark version starts evicting join
+        # state differently across restart it surfaces here as a
+        # contract change.
+        restart_scenario(
+            "st4_restart_mid_wave",
+            lambda d, ck: P.streaming_click_purchase_join(
+                spark, d, horizon_minutes=10, source=batched(d), checkpoint=ck
+            ),
+            lambda: P.streaming_click_purchase_join(
+                spark, sf, horizon_minutes=10, source=src()
+            ),
+            oracles["st4_stream_stream_join"],
         )
 
         def latest_per_user(raw):
