@@ -19,8 +19,15 @@ probe the judge can re-execute.
                published r14/r15 driver values. Timing probe: run it
                ALONE (the repo's standing bench discipline).
 
-Run: python tools/r16_evidence.py [coldspread] [n_sessions] (~3 min per
-session; default 6 sessions).
+  restartneg — negative control for the restart-mid-wave scenarios
+               (tools/streaming_hostile_sim.py): deletes the
+               checkpoint's state/ directory between run 1 and run 2 of
+               the st3 restart and reports what a genuinely lost state
+               store does (loud load failure vs the silent under-count
+               the wave's detection argument describes).
+
+Run: python tools/r16_evidence.py [coldspread|restartneg] [n_sessions]
+(coldspread ~3 min per session, default 6 sessions; restartneg ~4 min).
 """
 
 import json
@@ -94,12 +101,100 @@ def probe_coldspread(n_sessions: int = 6) -> None:
         )
 
 
+def probe_restartneg() -> None:
+    """Negative control for the restart-mid-wave scenarios: what does a
+    LOST state store actually look like? The wave's detection argument
+    says a state-less restart under-counts (st3's user-2 counter reads
+    n=4, not 5); this probe makes the loss REAL — run 1 over batches
+    0..1 on a checkpoint, then DELETE the checkpoint's state/ directory
+    (offsets/commits kept, so the restart resumes at batch 2 with no
+    state to load) and restart. Either outcome is ledger-worthy: a loud
+    state-store load failure pins "lost state fails LOUD, silent
+    under-count is the hypothetical", a silent completion demonstrates
+    the under-count the wave would catch.
+    """
+    import shutil
+
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import streaming_hostile_sim as H
+    from pyspark.sql import SparkSession
+
+    from data_transform_make_spark.streaming import pipelines as P
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("restartneg")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = H.build_fixture(spark)
+    try:
+        d = os.path.join(os.path.dirname(sf), "neg")
+        os.makedirs(os.path.join(d, "events.parquet"))
+
+        def grow(lo, hi):
+            for i in range(lo, hi):
+                fn = f"batch_{i:03d}.parquet"
+                shutil.copy2(
+                    os.path.join(sf, "events.parquet", fn),
+                    os.path.join(d, "events.parquet", fn),
+                )
+
+        def run():
+            return P.streaming_stateful_counters(
+                spark,
+                d,
+                source=P.stream_events(spark, d, max_files_per_trigger=1),
+                checkpoint=os.path.join(d, "ckpt"),
+            )
+
+        grow(0, 2)
+        run()
+        grow(2, len(H.BATCHES))
+        state_dir = os.path.join(d, "ckpt", "state")
+        assert os.path.isdir(state_dir), "expected a state/ dir to delete"
+        shutil.rmtree(state_dir)
+        try:
+            out = run()
+            from pyspark.sql import functions as F
+            from pyspark.sql.window import Window
+
+            latest = (
+                out.withColumn(
+                    "__rk",
+                    F.row_number().over(
+                        Window.partitionBy("user_id").orderBy(F.col("n").desc())
+                    ),
+                )
+                .filter(F.col("__rk") == 1)
+                .drop("__rk")
+            )
+            rows = {r.user_id: r.n for r in latest.collect()}
+            print(
+                f"RESTARTNEG: run 2 COMPLETED on a deleted state store — "
+                f"latest-per-user n={rows} (user 2 at "
+                f"{rows.get(2)}; 5 = state survived, 4 = the silent "
+                f"under-count the wave detects)"
+            )
+        except Exception as e:
+            msg = str(e).replace("\n", " ")[:200]
+            print(
+                f"RESTARTNEG: run 2 FAILED LOUD on a deleted state store — "
+                f"{type(e).__name__}: {msg}"
+            )
+    finally:
+        shutil.rmtree(os.path.dirname(sf), ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     sections = [a for a in args if not a.isdigit()] or ["coldspread"]
     n = next((int(a) for a in args if a.isdigit()), 6)
     if "coldspread" in sections:
         probe_coldspread(n)
+    if "restartneg" in sections:
+        probe_restartneg()
 
 
 if __name__ == "__main__":
