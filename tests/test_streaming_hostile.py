@@ -15,8 +15,11 @@ assumes the shipped fixture's unique-id invariant). Since r16 the wave
 also restarts each state-store operator (st2/st3/st4/st5) mid-wave on
 its checkpoint — stop after batch 1, resume over the remaining files — and
 requires the final result to equal both the uninterrupted run and the
-oracle. This test keeps the whole wave green so a Spark behavior change
-in cross-batch state handling surfaces here, not in production.
+oracle; since r17 that restart set includes the shipped production
+default streaming_counters_native (st3's fold as a native update-mode
+HashAggregate — the one state-store shape the r16 wave left out). This
+test keeps the whole wave green so a Spark behavior change in
+cross-batch state handling surfaces here, not in production.
 """
 
 import os

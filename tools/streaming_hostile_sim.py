@@ -484,6 +484,28 @@ def run() -> list:
             st3_latest,
             oracles["st3_stream_stateful_counters"],
         )
+        # st3 NATIVE (r17, closing the r16 verdict item 2): the shipped
+        # PRODUCTION DEFAULT streaming_counters_native is the one
+        # state-store shape the wave above did not restart — its state is
+        # a native update-mode HashAggregate (no Arrow/Python worker),
+        # recovery nominally Spark-guaranteed, but this repo's standard is
+        # probed, not argued. Same SPLIT=2 hazard as st3: user 2's counter
+        # formed in run 1 must CONTINUE to n=5 after restart (a lost
+        # aggregate store re-counts b5's purchase as n=1 and
+        # latest-per-key reads 4); same latest-per-user reduction over
+        # the accumulated (key, batch) emissions; same batch oracle.
+        restart_scenario(
+            "st3_native_restart_mid_wave",
+            lambda d, ck: latest_per_user(
+                P.streaming_counters_native(
+                    spark, d, source=batched(d), checkpoint=ck
+                )
+            ),
+            lambda: latest_per_user(
+                P.streaming_counters_native(spark, sf, source=src())
+            ),
+            oracles["st3_stream_stateful_counters"],
+        )
         return fails
     finally:
         shutil.rmtree(os.path.dirname(sf), ignore_errors=True)
