@@ -4234,6 +4234,21 @@ def ll3_training_corpus_capped(spark: SparkSession, sf_dir: str, eager: bool = T
 # st2/st3/st4/st5 wrappers for the restart-mid-wave harness) touches
 # only keys already in this window, so their r16 rows post-date it —
 # no extra changed-pair carry into r17.
+#
+# ROUND 17 (registry FROZEN at 109 — steady rotation, per the r16
+# verdict directive 1): (a) the 16 r14-stale keys (the r16 comment's
+# hand-off list, re-verified this round against all sixteen
+# CORRECTNESS files); then (b) the alphabetically-first 27 of the 43
+# r15-latest keys. The r17 engine change (signature-additive
+# `checkpoint` param on streaming_counters_native for the
+# st3_native_restart_mid_wave scenario) touches NO registered key's
+# body or twin — streaming_counters_native is a shipped API with an
+# identity test, not a query key, and the st3 key's body
+# (streaming_stateful_counters) is untouched — so no changed-pair
+# fronting this round. The remaining 16 r15-latest keys (sp1, st6,
+# st8, ta3, ta4, ta5, tc1, tf1, u1, udtf1, unp1, w1, w2, w4, w5, w8)
+# lead the r18 rotation. After r17 no key of any kind has a row older
+# than r15.
 _DRIVER_WINDOW = [
     # core anchors (certified every round)
     "p1_status_gate",
@@ -4243,54 +4258,51 @@ _DRIVER_WINDOW = [
     "a1_a2_order_counter_deltas",
     "q1_pricing_summary",
     "st1_stream_window_agg",
-    # (a) the 16 r13-stale keys (the r15 hand-off list, verified)
-    "d5c_embedding_near_dup_lsh_planted",
-    "d5d_embedding_lsh_oracle",
-    "d6_editdist_recheck",
-    "g1_rollup",
-    "g2_cube",
-    "gf1_calendar_gap_fill",
-    "j4_semi_anti_join",
-    "mm1_media_metadata",
-    "mm2_media_decode",
-    "mm3_frame_sample",
-    "mm4_resize",
-    "n2_lsh_topk",
-    "n3b_ivf_topk_oracle",
-    "pc1_percentiles",
-    "q6_filter_agg",
-    "sk1_salted_join",
-    # (b) the 5 streaming keys whose shared stream_events source
-    # gained max_files_per_trigger in r15 (fresh rows land with the
-    # change)
-    "st2_stream_dedup",
-    "st3_stream_stateful_counters",
-    "st4_stream_stream_join",
-    "st5_stream_session_window",
-    "st7_stream_static_join",
-    # (c) alphabetically-first 22 of the remaining 38 r14-latest keys
-    "a3_insufficient_stock",
-    "a4_a6_status_transitions",
-    "a5_counter_pivot",
-    "agg1_ordered_collect",
-    "arr1_array_hofs",
-    "bm25_1_query_ranking",
-    "cd1_distinct_agg",
-    "cr1_compression_ratio",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard",
-    "dc1_dedup_clusters",
-    "dc2_dedup_clusters_capped",
-    "dec1_decontamination",
-    "dq1_column_profile",
-    "dt1_date_buckets",
-    "g3_grouping_sets",
-    "h1_having",
-    "j2_as_of_join",
-    "j3_range_join",
-    "ll1_training_corpus",
-    "ll2_training_corpus_clustered",
-    "ll3_training_corpus_capped",
+    # (a) the 16 r14-stale keys (the r16 hand-off list, verified)
+    "lm1_unigram_freq_score",
+    "mf1_map_explode",
+    "mix1_domain_mixing",
+    "mo1_moment_aggs",
+    "n3_ivf_topk",
+    "sql1_raw_sql",
+    "t5_falsy_defaults",
+    "t7_js_parse_int",
+    "ta1_text_stats",
+    "ta2_lang_id",
+    "up1_unpivot",
+    "w3_sessionize",
+    "w6_lag_lead",
+    "w7_ntile",
+    "x1_json_extract",
+    "x2_explode_sequence",
+    # (b) alphabetically-first 27 of the 43 r15-latest keys
+    "apx1_sketch_aggs",
+    "ch1_doc_chunks",
+    "cs1_correlated_subquery",
+    "d2b_ngram_jaccard_capped",
+    "d3_minhash_lsh",
+    "d3b_minhash_lsh_md5",
+    "d4_simhash",
+    "d4b_simhash_md5",
+    "d5_embedding_near_dup",
+    "d5b_embedding_near_dup_lsh",
+    "diff1_snapshot_diff",
+    "ga1_pandas_grouped_agg",
+    "hop1_hopping_window_agg",
+    "mm2b_media_decode_oracle",
+    "mm4b_resize_oracle",
+    "n1_topk_cosine",
+    "pack1_token_budget",
+    "par1_paragraph_dedup",
+    "pii1_redaction",
+    "pu1_scalar_pandas_udf",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "rc1_recursive_hierarchy",
+    "s1_set_ops",
+    "samp1_stratified_sample",
+    "sd1_substring_dup_report",
 ]
 
 
