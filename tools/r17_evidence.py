@@ -1,0 +1,179 @@
+"""Round-17 evidence probes (re-runnable).
+
+Subcommands:
+
+``calib`` — the fixed-work CPU calibration loop the r16 verdict
+    (Next round, item 3) requires before any further "slow box day"
+    classification: three deterministic, data-independent workloads
+    whose wall time depends ONLY on how fast this box is right now,
+    never on the repo's code or fixtures. Published numbers are
+    min-of-3; the multithreaded cell is the one a shared-VM noisy
+    neighbor inflates first (hashlib releases the GIL on large
+    buffers, so mt8 scales with genuinely available cores).
+
+    * ``pyloop``  — single-thread pure-Python arithmetic loop
+      (3e7 iterations of integer multiply-accumulate).
+    * ``sha1t``   — sha256 over 2 GiB of fixed bytes, one thread.
+    * ``sha8t``   — 8 GiB of the same bytes split across 8 threads
+      (1 GiB each; sized so every cell is well over 0.5 s — this box
+      hashes ~1.4 GB/s/core with hardware sha, so smaller work items
+      read in the scheduling-noise regime).
+    * ``proc32``  — 16 GiB across 32 PROCESSES (512 MiB each), with
+      /proc/stat sampled across the run: the bench runs local[32], so
+      contention that only bites at full fan-out (hypervisor steal, a
+      noisy neighbor eating cores the 8-thread cell never asks for)
+      shows here and nowhere else. Reports wall seconds, steal%, and
+      effective busy cores. Processes, not threads: a 32-THREAD sha
+      probe saturates at ~8× single-thread regardless of box state —
+      each 1 MiB update's GIL-held bookkeeping caps parallel scaling
+      (measured this round: 32 threads = 7.6 busy cores, 73% idle) —
+      so a threaded cell measures the GIL, not the machine.
+
+    Record the JSON next to the round's bench numbers in SCALE.md; a
+    later round re-runs this and compares RATIOS — bench moved ×1.1
+    with calibration flat means the engine moved; both moved together
+    means the box did.
+
+``movers`` — per-cell mover scan of a bench JSON line (stdin or file
+    argument) against the driver's previous-round file, applying the
+    r16 protocol scope (warm/cold/forced columns, >15 % threshold).
+
+Usage: ``python tools/r17_evidence.py calib``
+       ``python tools/r17_evidence.py movers BENCH_SELF.json BENCH_r16.json``
+"""
+
+import hashlib
+import json
+import sys
+import threading
+import time
+
+
+def _pyloop() -> float:
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(30_000_000):
+        acc += i * i
+    assert acc == 8999999550000005000000
+    return time.perf_counter() - t0
+
+
+_CHUNK = b"\xa5" * (1 << 20)  # 1 MiB of fixed bytes
+
+
+def _sha(n_mib: int) -> None:
+    h = hashlib.sha256()
+    for _ in range(n_mib):
+        h.update(_CHUNK)
+
+
+def _sha1t() -> float:
+    t0 = time.perf_counter()
+    _sha(2048)
+    return time.perf_counter() - t0
+
+
+def _sha8t() -> float:
+    t0 = time.perf_counter()
+    ts = [threading.Thread(target=_sha, args=(1024,)) for _ in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return time.perf_counter() - t0
+
+
+def _procstat() -> list:
+    return list(map(int, open("/proc/stat").readline().split()[1:]))
+
+
+_PROC32_CODE = (
+    "import hashlib;c=b'\\xa5'*(1<<20);h=hashlib.sha256();"
+    "[h.update(c) for _ in range(512)]"
+)
+
+
+def _proc32() -> dict:
+    import subprocess
+
+    s0, t0 = _procstat(), time.perf_counter()
+    ps = [
+        subprocess.Popen([sys.executable, "-c", _PROC32_CODE])
+        for _ in range(32)
+    ]
+    for p in ps:
+        p.wait()
+    wall = time.perf_counter() - t0
+    d = [b - a for a, b in zip(s0, _procstat())]
+    tot = sum(d) or 1
+    return {
+        "wall": round(wall, 3),
+        "steal_pct": round(100 * d[7] / tot, 1),
+        "busy_cores": round(d[0] / 100 / wall, 1),
+    }
+
+
+def calib() -> dict:
+    out = {}
+    for name, fn in (("pyloop", _pyloop), ("sha1t", _sha1t), ("sha8t", _sha8t)):
+        out[name] = round(min(fn() for _ in range(3)), 3)
+    runs = [_proc32() for _ in range(3)]
+    best = min(runs, key=lambda r: r["wall"])
+    best["steal_pct_max"] = max(r["steal_pct"] for r in runs)
+    out["proc32"] = best
+    return out
+
+
+def movers(cur_path: str, prev_path: str, threshold: float = 0.15) -> list:
+    def cells(path):
+        d = json.load(open(path))
+        out = {}
+        if "queries" in d:
+            for col in ("queries", "queries_cold", "queries_forced"):
+                for k, v in (d.get(col) or {}).items():
+                    if isinstance(v, (int, float)):
+                        out[(col, k)] = float(v)
+            return out
+        # driver-format file: parsed is null, cells live in the (often
+        # front-truncated) "tail" output string — recover by section
+        # split + regex, like tools/r16_evidence.py. A key cut off by
+        # the truncation regexes to a wrong name and drops out of the
+        # comparison intersection naturally.
+        import re
+
+        tail = d.get("tail") or ""
+        warm, _, rest = tail.partition('"queries_cold"')
+        cold, _, forced = rest.partition('"queries_forced"')
+        for col, part in (
+            ("queries", warm),
+            ("queries_cold", cold),
+            ("queries_forced", forced),
+        ):
+            for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', part):
+                out[(col, k)] = float(v)
+        return out
+
+    cur, prev = cells(cur_path), cells(prev_path)
+    flagged = []
+    for key in sorted(set(cur) & set(prev)):
+        if prev[key] <= 0:
+            continue
+        ratio = cur[key] / prev[key]
+        if abs(ratio - 1.0) > threshold:
+            flagged.append(
+                {"column": key[0], "query": key[1],
+                 "prev": prev[key], "cur": cur[key], "ratio": round(ratio, 2)}
+            )
+    return flagged
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "calib"
+    if cmd == "calib":
+        print(json.dumps({"calibration": calib()}))
+    elif cmd == "movers":
+        out = movers(sys.argv[2], sys.argv[3])
+        print(json.dumps(out, indent=1))
+        print(f"{len(out)} mover(s) >15%")
+    else:
+        raise SystemExit(f"unknown subcommand {cmd!r}")
