@@ -4,12 +4,12 @@ Subcommands:
 
 ``calib`` — the fixed-work CPU calibration loop the r16 verdict
     (Next round, item 3) requires before any further "slow box day"
-    classification: three deterministic, data-independent workloads
+    classification: four deterministic, data-independent workloads
     whose wall time depends ONLY on how fast this box is right now,
     never on the repo's code or fixtures. Published numbers are
-    min-of-3; the multithreaded cell is the one a shared-VM noisy
-    neighbor inflates first (hashlib releases the GIL on large
-    buffers, so mt8 scales with genuinely available cores).
+    min-of-3; ``proc32`` is the cell a shared-VM noisy neighbor
+    inflates first (it is the only one that asks for every advertised
+    core at once, like the bench's local[32]).
 
     * ``pyloop``  — single-thread pure-Python arithmetic loop
       (3e7 iterations of integer multiply-accumulate).
@@ -127,6 +127,8 @@ def calib() -> dict:
 def movers(cur_path: str, prev_path: str, threshold: float = 0.15) -> list:
     def cells(path):
         d = json.load(open(path))
+        if "queries" not in d and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
         out = {}
         if "queries" in d:
             for col in ("queries", "queries_cold", "queries_forced"):
@@ -150,6 +152,10 @@ def movers(cur_path: str, prev_path: str, threshold: float = 0.15) -> list:
             ("queries_forced", forced),
         ):
             for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', part):
+                if "_" not in k:
+                    # non-query scalars that share the line ("value",
+                    # "sf") — every query key carries an underscore
+                    continue
                 out[(col, k)] = float(v)
         return out
 
