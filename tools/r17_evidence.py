@@ -38,8 +38,18 @@ Subcommands:
     argument) against the driver's previous-round file, applying the
     r16 protocol scope (warm/cold/forced columns, >15 % threshold).
 
+``benchsteal`` — run ``python bench.py`` with /proc/stat sampled in
+    10-s bins for the WHOLE draw and print the bench line plus an
+    integrated-contention line (mean/max steal %, mean user %). The
+    r17 lesson that makes this the required pairing: a calibration
+    bracket samples two instants while a bench draw integrates ~9
+    minutes of a bursty box — draw 4 read its worst total between two
+    calm brackets. Only steal integrated OVER the draw may be read as
+    "the box was flat during this measurement".
+
 Usage: ``python tools/r17_evidence.py calib``
        ``python tools/r17_evidence.py movers BENCH_SELF.json BENCH_r16.json``
+       ``python tools/r17_evidence.py benchsteal``
 """
 
 import hashlib
@@ -173,6 +183,36 @@ def movers(cur_path: str, prev_path: str, threshold: float = 0.15) -> list:
     return flagged
 
 
+def benchsteal() -> None:
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.Popen(
+        [sys.executable, os.path.join(here, "bench.py")],
+        stdout=subprocess.PIPE, text=True, cwd=here,
+    )
+    bins = []
+    prev = _procstat()
+    while p.poll() is None:
+        time.sleep(10)
+        cur = _procstat()
+        d = [b - a for a, b in zip(prev, cur)]
+        prev = cur
+        tot = sum(d) or 1
+        bins.append((100 * d[7] / tot, 100 * d[0] / tot))
+    out, _ = p.communicate()
+    sys.stdout.write(out)
+    steal = [s for s, _ in bins]
+    user = [u for _, u in bins]
+    print(json.dumps({
+        "steal_mean_pct": round(sum(steal) / max(len(steal), 1), 1),
+        "steal_max_pct": round(max(steal, default=0.0), 1),
+        "user_mean_pct": round(sum(user) / max(len(user), 1), 1),
+        "bins_10s": len(bins),
+    }))
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "calib"
     if cmd == "calib":
@@ -181,5 +221,7 @@ if __name__ == "__main__":
         out = movers(sys.argv[2], sys.argv[3])
         print(json.dumps(out, indent=1))
         print(f"{len(out)} mover(s) >15%")
+    elif cmd == "benchsteal":
+        benchsteal()
     else:
         raise SystemExit(f"unknown subcommand {cmd!r}")
