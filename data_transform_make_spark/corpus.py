@@ -4249,6 +4249,19 @@ def ll3_training_corpus_capped(spark: SparkSession, sf_dir: str, eager: bool = T
 # st8, ta3, ta4, ta5, tc1, tf1, u1, udtf1, unp1, w1, w2, w4, w5, w8)
 # lead the r18 rotation. After r17 no key of any kind has a row older
 # than r15.
+#
+# ROUND 18 (registry FROZEN at 109 — steady rotation, per the r17
+# verdict directive 1): (a) the 16 r15-stale keys (the r17 comment's
+# hand-off list, re-verified this round against all seventeen
+# CORRECTNESS files — exact match); then (b) the alphabetically-first
+# 27 of the 43 r16-latest keys. The r18 engine changes (ADVICE-low
+# hardening of tools/r17_evidence.py — pipe draining, final-bin
+# residual, exponent-aware value regex, section-marker guard,
+# parsed-payload fallback — plus README/SCALE.md protocol text) touch
+# NO registered key's body or twin, so no changed-pair fronting this
+# round. The remaining 16 r16-latest keys (ll2, ll3, mm1, mm2, mm3,
+# mm4, n2, n3b, pc1, q6, sk1, st2, st3, st4, st5, st7) lead the r19
+# rotation. After r18 no key of any kind has a row older than r16.
 _DRIVER_WINDOW = [
     # core anchors (certified every round)
     "p1_status_gate",
@@ -4258,51 +4271,51 @@ _DRIVER_WINDOW = [
     "a1_a2_order_counter_deltas",
     "q1_pricing_summary",
     "st1_stream_window_agg",
-    # (a) the 16 r14-stale keys (the r16 hand-off list, verified)
-    "lm1_unigram_freq_score",
-    "mf1_map_explode",
-    "mix1_domain_mixing",
-    "mo1_moment_aggs",
-    "n3_ivf_topk",
-    "sql1_raw_sql",
-    "t5_falsy_defaults",
-    "t7_js_parse_int",
-    "ta1_text_stats",
-    "ta2_lang_id",
-    "up1_unpivot",
-    "w3_sessionize",
-    "w6_lag_lead",
-    "w7_ntile",
-    "x1_json_extract",
-    "x2_explode_sequence",
-    # (b) alphabetically-first 27 of the 43 r15-latest keys
-    "apx1_sketch_aggs",
-    "ch1_doc_chunks",
-    "cs1_correlated_subquery",
-    "d2b_ngram_jaccard_capped",
-    "d3_minhash_lsh",
-    "d3b_minhash_lsh_md5",
-    "d4_simhash",
-    "d4b_simhash_md5",
-    "d5_embedding_near_dup",
-    "d5b_embedding_near_dup_lsh",
-    "diff1_snapshot_diff",
-    "ga1_pandas_grouped_agg",
-    "hop1_hopping_window_agg",
-    "mm2b_media_decode_oracle",
-    "mm4b_resize_oracle",
-    "n1_topk_cosine",
-    "pack1_token_budget",
-    "par1_paragraph_dedup",
-    "pii1_redaction",
-    "pu1_scalar_pandas_udf",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "rc1_recursive_hierarchy",
-    "s1_set_ops",
-    "samp1_stratified_sample",
-    "sd1_substring_dup_report",
+    # (a) the 16 r15-stale keys (the r17 hand-off list, verified)
+    "sp1_hash_split",
+    "st6_stream_ingest_routing",
+    "st8_stream_hopping_window",
+    "ta3_quality_score",
+    "ta4_doc_fingerprint",
+    "ta5_repetition",
+    "tc1_line_cleaning",
+    "tf1_keyword_topk",
+    "u1_string_funcs",
+    "udtf1_lateral_tokenize",
+    "unp1_unpivot_measures",
+    "w1_running_total",
+    "w2_topk_per_group",
+    "w4_tumbling_window",
+    "w5_global_topk",
+    "w8_percent_rank",
+    # (b) alphabetically-first 27 of the 43 r16-latest keys
+    "a3_insufficient_stock",
+    "a4_a6_status_transitions",
+    "a5_counter_pivot",
+    "agg1_ordered_collect",
+    "arr1_array_hofs",
+    "bm25_1_query_ranking",
+    "cd1_distinct_agg",
+    "cr1_compression_ratio",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard",
+    "d5c_embedding_near_dup_lsh_planted",
+    "d5d_embedding_lsh_oracle",
+    "d6_editdist_recheck",
+    "dc1_dedup_clusters",
+    "dc2_dedup_clusters_capped",
+    "dec1_decontamination",
+    "dq1_column_profile",
+    "dt1_date_buckets",
+    "g1_rollup",
+    "g2_cube",
+    "g3_grouping_sets",
+    "gf1_calendar_gap_fill",
+    "h1_having",
+    "j2_as_of_join",
+    "j3_range_join",
+    "j4_semi_anti_join",
+    "ll1_training_corpus",
 ]
 
 
