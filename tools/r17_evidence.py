@@ -134,11 +134,23 @@ def calib() -> dict:
     return out
 
 
+# Value pattern for tail recovery: exponents included — a cell
+# serialized as 8e-05 must read as 8e-05, not as "8" (a ~1e5×
+# misread that would feed a false mover into the disposition
+# protocol; ADVICE r17).
+_CELL_RE = r'"([a-z0-9_]+)": ([0-9.]+(?:[eE][+-]?[0-9]+)?)'
+
+
 def movers(cur_path: str, prev_path: str, threshold: float = 0.15) -> list:
     def cells(path):
         d = json.load(open(path))
-        if "queries" not in d and isinstance(d.get("parsed"), dict):
-            d = d["parsed"]
+        parsed = d.get("parsed")
+        if "queries" not in d and isinstance(parsed, dict) and "queries" in parsed:
+            # adopt the parsed payload only when it actually carries
+            # cells; a parsed dict WITHOUT "queries" must not shadow
+            # the tail fallback below (ADVICE r17 — the old
+            # unconditional substitution yielded a vacuous 0-cell scan)
+            d = parsed
         out = {}
         if "queries" in d:
             for col in ("queries", "queries_cold", "queries_forced"):
@@ -154,14 +166,49 @@ def movers(cur_path: str, prev_path: str, threshold: float = 0.15) -> list:
         import re
 
         tail = d.get("tail") or ""
-        warm, _, rest = tail.partition('"queries_cold"')
-        cold, _, forced = rest.partition('"queries_forced"')
-        for col, part in (
-            ("queries", warm),
-            ("queries_cold", cold),
-            ("queries_forced", forced),
-        ):
-            for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', part):
+        if not tail:
+            return out
+        # Sections are emitted warm -> cold -> forced and the driver
+        # only ever truncates the tail from the FRONT. A missing
+        # marker therefore means the cut reached past it, and the text
+        # before the first PRESENT marker belongs to the section the
+        # cut landed in — never silently to the prior column (the
+        # cross-column comparison trap; ADVICE r17). Any absent marker
+        # is warned loudly so a format change can't pass as 0 movers.
+        warm, found_cold, rest = tail.partition('"queries_cold"')
+        if found_cold:
+            cold, found_forced, forced = rest.partition('"queries_forced"')
+            if found_forced:
+                sections = [("queries", warm), ("queries_cold", cold),
+                            ("queries_forced", forced)]
+            else:
+                # cold present but forced absent: impossible under
+                # front-only truncation — warn and keep the post-cold
+                # text as cold rather than inventing a forced section
+                print(
+                    "WARNING: tail lacks \"queries_forced\" marker; "
+                    "post-cold cells attributed to queries_cold only",
+                    file=sys.stderr,
+                )
+                sections = [("queries", warm), ("queries_cold", cold)]
+        else:
+            cold, found_forced, forced = tail.partition('"queries_forced"')
+            if found_forced:
+                print(
+                    "WARNING: tail truncated past \"queries_cold\" "
+                    "marker; leading cells attributed to queries_cold",
+                    file=sys.stderr,
+                )
+                sections = [("queries_cold", cold), ("queries_forced", forced)]
+            else:
+                print(
+                    "WARNING: tail lacks both section markers; all "
+                    "cells attributed to queries_forced (deepest cut)",
+                    file=sys.stderr,
+                )
+                sections = [("queries_forced", tail)]
+        for col, part in sections:
+            for k, v in re.findall(_CELL_RE, part):
                 if "_" not in k:
                     # non-query scalars that share the line ("value",
                     # "sf") — every query key carries an underscore
@@ -183,34 +230,63 @@ def movers(cur_path: str, prev_path: str, threshold: float = 0.15) -> list:
     return flagged
 
 
-def benchsteal() -> None:
+def _steal_summary(bins: list) -> dict:
+    """Integrate (steal%, user%, weight) bins into the published line.
+
+    Means are weighted by each bin's total jiffies — with a constant
+    core count, jiffies are proportional to bin duration, so the
+    residual partial bin appended after process exit contributes
+    exactly its share of the draw instead of a full 10-s vote
+    (ADVICE r17).
+    """
+    w = sum(t for _, _, t in bins) or 1
+    return {
+        "steal_mean_pct": round(sum(s * t for s, _, t in bins) / w, 1),
+        "steal_max_pct": round(max((s for s, _, _ in bins), default=0.0), 1),
+        "user_mean_pct": round(sum(u * t for _, u, t in bins) / w, 1),
+        "bins_10s": len(bins),
+    }
+
+
+def benchsteal(script: str = None) -> None:
     import os
     import subprocess
+    import tempfile
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    p = subprocess.Popen(
-        [sys.executable, os.path.join(here, "bench.py")],
-        stdout=subprocess.PIPE, text=True, cwd=here,
-    )
-    bins = []
+    bins = []  # (steal_pct, user_pct, weight_jiffies)
     prev = _procstat()
-    while p.poll() is None:
-        time.sleep(10)
+
+    def _bin():
+        nonlocal prev
         cur = _procstat()
         d = [b - a for a, b in zip(prev, cur)]
         prev = cur
-        tot = sum(d) or 1
-        bins.append((100 * d[7] / tot, 100 * d[0] / tot))
-    out, _ = p.communicate()
-    sys.stdout.write(out)
-    steal = [s for s, _ in bins]
-    user = [u for _, u in bins]
-    print(json.dumps({
-        "steal_mean_pct": round(sum(steal) / max(len(steal), 1), 1),
-        "steal_max_pct": round(max(steal, default=0.0), 1),
-        "user_mean_pct": round(sum(user) / max(len(user), 1), 1),
-        "bins_10s": len(bins),
-    }))
+        tot = sum(d)
+        if tot > 0:  # zero-jiffy residual (sub-tick exit) carries no info
+            bins.append((100 * d[7] / tot, 100 * d[0] / tot, tot))
+
+    # stdout goes to a temp FILE, never a pipe: a pipe nobody drains
+    # during a ~9-minute draw deadlocks the child the moment it writes
+    # past the OS buffer (~64 KiB) and poll() then never turns
+    # non-None (ADVICE r17).
+    with tempfile.TemporaryFile(mode="w+") as outf:
+        p = subprocess.Popen(
+            [sys.executable, script or os.path.join(here, "bench.py")],
+            stdout=outf, text=True, cwd=here,
+        )
+        while True:
+            try:
+                p.wait(timeout=10)
+                break
+            except subprocess.TimeoutExpired:
+                _bin()
+        # the residual partial bin: up to 10 s of the draw's tail is
+        # part of "steal integrated OVER the whole draw" (ADVICE r17)
+        _bin()
+        outf.seek(0)
+        sys.stdout.write(outf.read())
+    print(json.dumps(_steal_summary(bins)))
 
 
 if __name__ == "__main__":
