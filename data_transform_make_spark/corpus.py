@@ -4262,6 +4262,20 @@ def ll3_training_corpus_capped(spark: SparkSession, sf_dir: str, eager: bool = T
 # round. The remaining 16 r16-latest keys (ll2, ll3, mm1, mm2, mm3,
 # mm4, n2, n3b, pc1, q6, sk1, st2, st3, st4, st5, st7) lead the r19
 # rotation. After r18 no key of any kind has a row older than r16.
+#
+# ROUND 19 (registry FROZEN at 109 — steady rotation, per the r18
+# verdict directive 1): (a) the 16 r16-stale keys (the r18 comment's
+# hand-off list, re-verified this round against all eighteen
+# CORRECTNESS files — exact match: after r18 freshness is 50×r18 +
+# 43×r17 + 16×r16); then (b) the alphabetically-first 27 of the 43
+# r17-latest keys. The r19 engine changes (ADVICE-low hardening of
+# tools/r18_evidence.py — subcommand validation, tail-parse guards —
+# and tools/r17_evidence.py steal-max residual-bin weighting, plus
+# evidence tooling and ledger text) touch NO registered key's body or
+# twin, so no changed-pair fronting this round. The remaining 16
+# r17-latest keys (q5, rc1, s1, samp1, sd1, sql1, t5, t7, ta1, ta2,
+# up1, w3, w6, w7, x1, x2) lead the r20 rotation. After r19 no key of
+# any kind has a row older than r17.
 _DRIVER_WINDOW = [
     # core anchors (certified every round)
     "p1_status_gate",
@@ -4271,51 +4285,51 @@ _DRIVER_WINDOW = [
     "a1_a2_order_counter_deltas",
     "q1_pricing_summary",
     "st1_stream_window_agg",
-    # (a) the 16 r15-stale keys (the r17 hand-off list, verified)
-    "sp1_hash_split",
-    "st6_stream_ingest_routing",
-    "st8_stream_hopping_window",
-    "ta3_quality_score",
-    "ta4_doc_fingerprint",
-    "ta5_repetition",
-    "tc1_line_cleaning",
-    "tf1_keyword_topk",
-    "u1_string_funcs",
-    "udtf1_lateral_tokenize",
-    "unp1_unpivot_measures",
-    "w1_running_total",
-    "w2_topk_per_group",
-    "w4_tumbling_window",
-    "w5_global_topk",
-    "w8_percent_rank",
-    # (b) alphabetically-first 27 of the 43 r16-latest keys
-    "a3_insufficient_stock",
-    "a4_a6_status_transitions",
-    "a5_counter_pivot",
-    "agg1_ordered_collect",
-    "arr1_array_hofs",
-    "bm25_1_query_ranking",
-    "cd1_distinct_agg",
-    "cr1_compression_ratio",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard",
-    "d5c_embedding_near_dup_lsh_planted",
-    "d5d_embedding_lsh_oracle",
-    "d6_editdist_recheck",
-    "dc1_dedup_clusters",
-    "dc2_dedup_clusters_capped",
-    "dec1_decontamination",
-    "dq1_column_profile",
-    "dt1_date_buckets",
-    "g1_rollup",
-    "g2_cube",
-    "g3_grouping_sets",
-    "gf1_calendar_gap_fill",
-    "h1_having",
-    "j2_as_of_join",
-    "j3_range_join",
-    "j4_semi_anti_join",
-    "ll1_training_corpus",
+    # (a) the 16 r16-stale keys (the r18 hand-off list, verified)
+    "ll2_training_corpus_clustered",
+    "ll3_training_corpus_capped",
+    "mm1_media_metadata",
+    "mm2_media_decode",
+    "mm3_frame_sample",
+    "mm4_resize",
+    "n2_lsh_topk",
+    "n3b_ivf_topk_oracle",
+    "pc1_percentiles",
+    "q6_filter_agg",
+    "sk1_salted_join",
+    "st2_stream_dedup",
+    "st3_stream_stateful_counters",
+    "st4_stream_stream_join",
+    "st5_stream_session_window",
+    "st7_stream_static_join",
+    # (b) alphabetically-first 27 of the 43 r17-latest keys
+    "apx1_sketch_aggs",
+    "ch1_doc_chunks",
+    "cs1_correlated_subquery",
+    "d2b_ngram_jaccard_capped",
+    "d3_minhash_lsh",
+    "d3b_minhash_lsh_md5",
+    "d4_simhash",
+    "d4b_simhash_md5",
+    "d5_embedding_near_dup",
+    "d5b_embedding_near_dup_lsh",
+    "diff1_snapshot_diff",
+    "ga1_pandas_grouped_agg",
+    "hop1_hopping_window_agg",
+    "lm1_unigram_freq_score",
+    "mf1_map_explode",
+    "mix1_domain_mixing",
+    "mm2b_media_decode_oracle",
+    "mm4b_resize_oracle",
+    "mo1_moment_aggs",
+    "n1_topk_cosine",
+    "n3_ivf_topk",
+    "pack1_token_budget",
+    "par1_paragraph_dedup",
+    "pii1_redaction",
+    "pu1_scalar_pandas_udf",
+    "q3_shipping_priority",
+    "q4_order_priority",
 ]
 
 
