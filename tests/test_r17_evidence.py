@@ -200,3 +200,15 @@ def test_benchsteal_survives_large_child_output(tmp_path, capsys):
     assert set(summary) == {
         "steal_mean_pct", "steal_max_pct", "user_mean_pct", "bins_10s"
     }
+
+
+def test_steal_summary_max_ignores_quantization_noise_residual():
+    # ADVICE r18: a residual of a few jiffies quantizes steal% so
+    # coarsely that one stolen tick reads as a spike — the max must
+    # skip bins under ~1 s of weight (<10% of the largest bin). The
+    # exactly-1-s residual in the test above (100 of 1000 jiffies)
+    # still qualifies; this 5-jiffy one must not.
+    bins = [(0.0, 80.0, 1000), (2.0, 80.0, 1000), (50.0, 50.0, 5)]
+    s = r17_evidence._steal_summary(bins)
+    assert s["steal_max_pct"] == 2.0
+    assert s["bins_10s"] == 3

@@ -238,11 +238,21 @@ def _steal_summary(bins: list) -> dict:
     residual partial bin appended after process exit contributes
     exactly its share of the draw instead of a full 10-s vote
     (ADVICE r17).
+
+    The max is restricted to bins carrying at least ~1 s of draw time
+    (>= 10% of the largest bin's jiffy weight — full bins are 10 s):
+    a residual of a few jiffies quantizes steal% so coarsely that a
+    single stolen tick reads as a huge spike, and an unweighted max
+    would publish that noise as the draw's burst ceiling (ADVICE r18).
+    The largest bin always qualifies, so the max never goes empty.
     """
     w = sum(t for _, _, t in bins) or 1
+    min_w = max((t for _, _, t in bins), default=0) * 0.1
     return {
         "steal_mean_pct": round(sum(s * t for s, _, t in bins) / w, 1),
-        "steal_max_pct": round(max((s for s, _, _ in bins), default=0.0), 1),
+        "steal_max_pct": round(
+            max((s for s, _, t in bins if t >= min_w), default=0.0), 1
+        ),
         "user_mean_pct": round(sum(u * t for _, u, t in bins) / w, 1),
         "bins_10s": len(bins),
     }

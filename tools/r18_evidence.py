@@ -46,13 +46,30 @@ def _published_cold(rnd: str) -> dict:
     if isinstance(parsed, dict) and "queries_cold" in parsed:
         return {m: parsed["queries_cold"][m] for m in MOVERS}
     # driver-format file: parsed null, cells in the front-truncated
-    # tail after the '"queries_cold"' marker
-    cold_part = bench["tail"].split('"queries_cold"', 1)[1]
+    # tail after the '"queries_cold"' marker. Guard every recovery
+    # step with a loud, named failure: a missing marker or cell means
+    # the truncation ate the published values this probe dispositions
+    # against, and a bare IndexError would hide WHICH (ADVICE r18).
+    tail = bench.get("tail") or ""
+    if '"queries_cold"' not in tail:
+        raise SystemExit(
+            f"coldspread: BENCH_{rnd}.json tail lacks the "
+            '"queries_cold" marker (front-truncation ate the cold '
+            "section) — published cold cells unrecoverable"
+        )
+    cold_part = tail.split('"queries_cold"', 1)[1]
     cold_part = cold_part.split('"queries_forced"', 1)[0]
-    return {
-        m: float(re.search(rf'"{m}": {_VAL}', cold_part).group(1))
-        for m in MOVERS
-    }
+    out = {}
+    for m in MOVERS:
+        hit = re.search(rf'"{m}": {_VAL}', cold_part)
+        if hit is None:
+            raise SystemExit(
+                f"coldspread: BENCH_{rnd}.json cold section has no "
+                f'"{m}" cell — cannot disposition against a missing '
+                "published value"
+            )
+        out[m] = float(hit.group(1))
+    return out
 
 
 def probe_coldspread(n_sessions: int = 6) -> None:
@@ -101,6 +118,16 @@ def probe_coldspread(n_sessions: int = 6) -> None:
 
 
 if __name__ == "__main__":
+    # validate the subcommand word — a typo must not silently launch
+    # the ~20-minute multi-session probe (ADVICE r18; mirrors the
+    # r17_evidence.py unknown-subcommand rejection)
     args = sys.argv[1:]
+    words = [a for a in args if not a.isdigit()]
+    if words and words != ["coldspread"]:
+        raise SystemExit(
+            f"unknown subcommand {words[0]!r} (expected 'coldspread')"
+        )
     n = next((int(a) for a in args if a.isdigit()), 6)
+    if n < 1:
+        raise SystemExit(f"n_sessions must be >= 1, got {n}")
     probe_coldspread(n)
