@@ -141,82 +141,92 @@ def calib() -> dict:
 _CELL_RE = r'"([a-z0-9_]+)": ([0-9.]+(?:[eE][+-]?[0-9]+)?)'
 
 
-def movers(cur_path: str, prev_path: str, threshold: float = 0.15) -> list:
-    def cells(path):
-        d = json.load(open(path))
-        parsed = d.get("parsed")
-        if "queries" not in d and isinstance(parsed, dict) and "queries" in parsed:
-            # adopt the parsed payload only when it actually carries
-            # cells; a parsed dict WITHOUT "queries" must not shadow
-            # the tail fallback below (ADVICE r17 — the old
-            # unconditional substitution yielded a vacuous 0-cell scan)
-            d = parsed
-        out = {}
-        if "queries" in d:
-            for col in ("queries", "queries_cold", "queries_forced"):
-                for k, v in (d.get(col) or {}).items():
-                    if isinstance(v, (int, float)):
-                        out[(col, k)] = float(v)
-            return out
-        # driver-format file: parsed is null, cells live in the (often
-        # front-truncated) "tail" output string — recover by section
-        # split + regex, like tools/r16_evidence.py. A key cut off by
-        # the truncation regexes to a wrong name and drops out of the
-        # comparison intersection naturally.
-        import re
+def bench_cells(path: str) -> dict:
+    """Recover every (column, query) -> seconds cell from a BENCH file.
 
-        tail = d.get("tail") or ""
-        if not tail:
-            return out
-        # Sections are emitted warm -> cold -> forced and the driver
-        # only ever truncates the tail from the FRONT. A missing
-        # marker therefore means the cut reached past it, and the text
-        # before the first PRESENT marker belongs to the section the
-        # cut landed in — never silently to the prior column (the
-        # cross-column comparison trap; ADVICE r17). Any absent marker
-        # is warned loudly so a format change can't pass as 0 movers.
-        warm, found_cold, rest = tail.partition('"queries_cold"')
-        if found_cold:
-            cold, found_forced, forced = rest.partition('"queries_forced"')
-            if found_forced:
-                sections = [("queries", warm), ("queries_cold", cold),
-                            ("queries_forced", forced)]
-            else:
-                # cold present but forced absent: impossible under
-                # front-only truncation — warn and keep the post-cold
-                # text as cold rather than inventing a forced section
-                print(
-                    "WARNING: tail lacks \"queries_forced\" marker; "
-                    "post-cold cells attributed to queries_cold only",
-                    file=sys.stderr,
-                )
-                sections = [("queries", warm), ("queries_cold", cold)]
-        else:
-            cold, found_forced, forced = tail.partition('"queries_forced"')
-            if found_forced:
-                print(
-                    "WARNING: tail truncated past \"queries_cold\" "
-                    "marker; leading cells attributed to queries_cold",
-                    file=sys.stderr,
-                )
-                sections = [("queries_cold", cold), ("queries_forced", forced)]
-            else:
-                print(
-                    "WARNING: tail lacks both section markers; all "
-                    "cells attributed to queries_forced (deepest cut)",
-                    file=sys.stderr,
-                )
-                sections = [("queries_forced", tail)]
-        for col, part in sections:
-            for k, v in re.findall(_CELL_RE, part):
-                if "_" not in k:
-                    # non-query scalars that share the line ("value",
-                    # "sf") — every query key carries an underscore
-                    continue
-                out[(col, k)] = float(v)
+    Handles all three shapes the protocol meets: a direct bench.py
+    payload, a driver file whose `parsed` dict carries the cells, and
+    the usual driver shape (`parsed: null`, cells embedded in a
+    front-truncated `tail` string). Module-level so the per-round
+    probes (tools/r19_evidence.py spread/passwind) reuse the exact
+    recovery the movers scan is tested on, not a reimplementation.
+    """
+    d = json.load(open(path))
+    parsed = d.get("parsed")
+    if "queries" not in d and isinstance(parsed, dict) and "queries" in parsed:
+        # adopt the parsed payload only when it actually carries
+        # cells; a parsed dict WITHOUT "queries" must not shadow
+        # the tail fallback below (ADVICE r17 — the old
+        # unconditional substitution yielded a vacuous 0-cell scan)
+        d = parsed
+    out = {}
+    if "queries" in d:
+        for col in ("queries", "queries_cold", "queries_forced"):
+            for k, v in (d.get(col) or {}).items():
+                if isinstance(v, (int, float)):
+                    out[(col, k)] = float(v)
         return out
+    # driver-format file: parsed is null, cells live in the (often
+    # front-truncated) "tail" output string — recover by section
+    # split + regex, like tools/r16_evidence.py. A key cut off by
+    # the truncation regexes to a wrong name and drops out of the
+    # comparison intersection naturally.
+    import re
 
-    cur, prev = cells(cur_path), cells(prev_path)
+    tail = d.get("tail") or ""
+    if not tail:
+        return out
+    # Sections are emitted warm -> cold -> forced and the driver
+    # only ever truncates the tail from the FRONT. A missing
+    # marker therefore means the cut reached past it, and the text
+    # before the first PRESENT marker belongs to the section the
+    # cut landed in — never silently to the prior column (the
+    # cross-column comparison trap; ADVICE r17). Any absent marker
+    # is warned loudly so a format change can't pass as 0 movers.
+    warm, found_cold, rest = tail.partition('"queries_cold"')
+    if found_cold:
+        cold, found_forced, forced = rest.partition('"queries_forced"')
+        if found_forced:
+            sections = [("queries", warm), ("queries_cold", cold),
+                        ("queries_forced", forced)]
+        else:
+            # cold present but forced absent: impossible under
+            # front-only truncation — warn and keep the post-cold
+            # text as cold rather than inventing a forced section
+            print(
+                "WARNING: tail lacks \"queries_forced\" marker; "
+                "post-cold cells attributed to queries_cold only",
+                file=sys.stderr,
+            )
+            sections = [("queries", warm), ("queries_cold", cold)]
+    else:
+        cold, found_forced, forced = tail.partition('"queries_forced"')
+        if found_forced:
+            print(
+                "WARNING: tail truncated past \"queries_cold\" "
+                "marker; leading cells attributed to queries_cold",
+                file=sys.stderr,
+            )
+            sections = [("queries_cold", cold), ("queries_forced", forced)]
+        else:
+            print(
+                "WARNING: tail lacks both section markers; all "
+                "cells attributed to queries_forced (deepest cut)",
+                file=sys.stderr,
+            )
+            sections = [("queries_forced", tail)]
+    for col, part in sections:
+        for k, v in re.findall(_CELL_RE, part):
+            if "_" not in k:
+                # non-query scalars that share the line ("value",
+                # "sf") — every query key carries an underscore
+                continue
+            out[(col, k)] = float(v)
+    return out
+
+
+def movers(cur_path: str, prev_path: str, threshold: float = 0.15) -> list:
+    cur, prev = bench_cells(cur_path), bench_cells(prev_path)
     flagged = []
     for key in sorted(set(cur) & set(prev)):
         if prev[key] <= 0:
