@@ -1,0 +1,86 @@
+"""The consolidated evidence tool's own surface (pure python).
+
+tools/evidence.py is the single home of the standing instruments
+(calib/movers/benchsteal/spread/passwind — r18 verdict item 5); the
+rN_evidence.py files are thin shims over it. The shim-facing parsing
+contracts stay pinned where they were written
+(tests/test_r17_evidence.py, test_r18_evidence.py,
+test_r19_evidence.py — all still green against the shims, which is
+the consolidation's acceptance test); THIS file pins only what is new
+in the consolidation: the widened parsed-payload adoption, the shared
+published-cells guard, the CLI dispatch, and that the shims really
+are re-exports of the same objects.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+import evidence  # noqa: E402
+import r17_evidence  # noqa: E402
+import r18_evidence  # noqa: E402
+import r19_evidence  # noqa: E402
+
+
+def test_shims_reexport_the_same_objects():
+    assert r17_evidence.movers is evidence.movers
+    assert r17_evidence.benchsteal is evidence.benchsteal
+    assert r17_evidence._steal_summary is evidence._steal_summary
+    assert r17_evidence.bench_cells is evidence.bench_cells
+    assert r19_evidence.passwind is evidence.passwind
+    assert r19_evidence.MOVERS is evidence.SPREAD_CELLS
+    assert r18_evidence.REPO == evidence.REPO == r19_evidence.REPO
+
+
+def test_bench_cells_adopts_cold_only_parsed_payload(tmp_path):
+    # the r18 coldspread shape: a driver file whose parsed payload
+    # carries ONLY the cold column must be adopted (the pre-r19
+    # bench_cells required "queries" and would have fallen through to
+    # an empty tail); a parsed dict with NO cell column still must
+    # not shadow the tail (the ADVICE-r17 guard, pinned in
+    # tests/test_r17_evidence.py against the shim)
+    p = tmp_path / "b.json"
+    p.write_text(json.dumps(
+        {"parsed": {"queries_cold": {"pc1_percentiles": 0.3}}, "tail": ""}
+    ))
+    assert evidence.bench_cells(str(p)) == {
+        ("queries_cold", "pc1_percentiles"): 0.3
+    }
+
+
+def test_published_cells_names_missing_cell_and_label(tmp_path):
+    p = tmp_path / "b.json"
+    p.write_text(json.dumps({"queries": {"q1_pricing_summary": 1.0}}))
+    try:
+        evidence.published_cells(
+            str(p), [("queries_forced", "par1_paragraph_dedup")],
+            label="BENCH_rQ.json",
+        )
+    except SystemExit as e:
+        msg = str(e)
+        assert "queries_forced" in msg
+        assert "par1_paragraph_dedup" in msg
+        assert "BENCH_rQ.json" in msg
+    else:
+        raise AssertionError("expected SystemExit on missing cell")
+
+
+def test_cli_rejects_unknown_subcommand_and_bad_args():
+    tool = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools", "evidence.py",
+    )
+    r = subprocess.run([sys.executable, tool, "benchstea"],
+                       capture_output=True, text=True)
+    assert r.returncode != 0 and "unknown subcommand" in r.stderr
+    r = subprocess.run([sys.executable, tool, "spread", "0"],
+                       capture_output=True, text=True)
+    assert r.returncode != 0 and "n_sessions" in r.stderr
+    r = subprocess.run([sys.executable, tool, "movers", "one-arg-only"],
+                       capture_output=True, text=True)
+    assert r.returncode != 0 and "usage" in r.stderr
