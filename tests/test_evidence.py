@@ -84,3 +84,35 @@ def test_cli_rejects_unknown_subcommand_and_bad_args():
     r = subprocess.run([sys.executable, tool, "movers", "one-arg-only"],
                        capture_output=True, text=True)
     assert r.returncode != 0 and "usage" in r.stderr
+
+
+def test_coldspread_shim_survives_truncated_warm_cells(monkeypatch, capsys):
+    # regression (r19 self-review): the r18 coldspread compared COLD
+    # cells to published driver values and tracked WARM cells as
+    # session-only context — but warm cells are front-truncated out
+    # of the real BENCH_r16/r17 files, so a consolidation that
+    # demanded published values for every tracked cell turned the
+    # historical command line into a hard SystemExit. Fake the bench
+    # session; the published lookups run against the REAL driver
+    # files in the repo.
+    fake = json.dumps({
+        "queries": {"pc1_percentiles": 0.2, "j1_lookup_join": 0.5},
+        "queries_cold": {"pc1_percentiles": 0.33, "j1_lookup_join": 0.6},
+        "queries_forced": {},
+    })
+
+    class _Done:
+        returncode = 0
+        stdout = "BENCH_PASS_RESULT:" + fake + "\n"
+        stderr = ""
+
+    monkeypatch.setattr(evidence.subprocess, "run",
+                        lambda *a, **k: _Done())
+    r18_evidence.probe_coldspread(1)
+    out = capsys.readouterr().out
+    # cold cells: compared against the published r16/r17 values
+    assert "pc1_percentiles [queries_cold]" in out
+    assert "r16=0.327 r17=0.386" in out
+    # warm cells: reported spread-only, no published comparison
+    assert "pc1_percentiles [queries]" in out
+    assert "context cell — spread only" in out

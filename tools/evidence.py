@@ -371,8 +371,19 @@ SPREAD_CELLS = [
 
 
 def probe_spread(
-    n_sessions: int = 6, cells: list = None, rounds: tuple = ("r17", "r18")
+    n_sessions: int = 6,
+    cells: list = None,
+    rounds: tuple = ("r17", "r18"),
+    context_cells: tuple = (),
 ) -> None:
+    """Fresh-session spread for `cells` vs their published driver values.
+
+    `context_cells` are tracked across the same sessions and reported
+    as spread-only — NO published lookup: the r18 coldspread recorded
+    the movers' warm cells for context, and those are front-truncated
+    out of the driver files, so demanding published values for them
+    would turn the historical command line into a hard exit.
+    """
     cells = cells or SPREAD_CELLS
     published = {
         rnd: published_cells(
@@ -381,6 +392,7 @@ def probe_spread(
         )
         for rnd in rounds
     }
+    cells = cells + [k for k in context_cells if k not in cells]
     obs: dict = {key: [] for key in cells}
     for i in range(n_sessions):
         out = subprocess.run(
@@ -408,17 +420,23 @@ def probe_spread(
         col, q = key
         vals = obs[key]
         lo, hi = min(vals), max(vals)
-        pub = [published[rnd][key] for rnd in rounds]
-        inside = all(lo <= v <= hi for v in pub)
-        # the strict-inside check can miss by luck of the draw on a
-        # fat-tailed distribution; the ×-spread is the context
-        print(
+        line = (
             f"SPREAD {q} [{col}]: {n_sessions}-session spread "
-            f"[{lo}, {hi}] (×{round(hi / lo, 2)} natural variation); "
-            "published driver "
-            + " ".join(f"{rnd}={v}" for rnd, v in zip(rounds, pub))
-            + f" — all inside the observed spread: {inside}"
+            f"[{lo}, {hi}] (×{round(hi / lo, 2)} natural variation)"
         )
+        if key in published[rounds[0]]:
+            pub = [published[rnd][key] for rnd in rounds]
+            inside = all(lo <= v <= hi for v in pub)
+            # the strict-inside check can miss by luck of the draw on
+            # a fat-tailed distribution; the ×-spread is the context
+            line += (
+                "; published driver "
+                + " ".join(f"{rnd}={v}" for rnd, v in zip(rounds, pub))
+                + f" — all inside the observed spread: {inside}"
+            )
+        else:
+            line += " (context cell — spread only)"
+        print(line)
 
 
 # ----------------------------------------------------------- passwind

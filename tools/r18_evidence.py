@@ -38,13 +38,16 @@ def _published_cold(rnd: str) -> dict:
 
 
 def probe_coldspread(n_sessions: int = 6) -> None:
-    # the r18 probe tracked the movers' warm cells alongside cold for
-    # context; the generalized spread takes explicit (column, query)
-    # pairs, so reproduce that exact cell set here
-    cells = [("queries_cold", m) for m in MOVERS] + [
-        ("queries", m) for m in MOVERS
-    ]
-    evidence.probe_spread(n_sessions, cells=cells, rounds=("r16", "r17"))
+    # the r18 probe compared COLD cells against the published driver
+    # values and tracked the movers' WARM cells for context only —
+    # the warm cells are front-truncated out of the driver files, so
+    # they go in as context_cells (spread-only, no published lookup)
+    evidence.probe_spread(
+        n_sessions,
+        cells=[("queries_cold", m) for m in MOVERS],
+        rounds=("r16", "r17"),
+        context_cells=[("queries", m) for m in MOVERS],
+    )
 
 
 if __name__ == "__main__":
