@@ -4276,6 +4276,21 @@ def ll3_training_corpus_capped(spark: SparkSession, sf_dir: str, eager: bool = T
 # r17-latest keys (q5, rc1, s1, samp1, sd1, sql1, t5, t7, ta1, ta2,
 # up1, w3, w6, w7, x1, x2) lead the r20 rotation. After r19 no key of
 # any kind has a row older than r17.
+#
+# ROUND 20 (registry FROZEN at 109 — final round, steady rotation, per
+# the r19 verdict directive 1): (a) the 16 r17-stale keys (the r19
+# comment's hand-off list, re-verified this round against all nineteen
+# CORRECTNESS files — exact match: after r19 freshness is 50×r19 +
+# 43×r18 + 16×r17); then (b) the alphabetically-first 27 of the 43
+# r18-latest keys. The r20 engine changes (ADVICE-low hardening of
+# tools/evidence.py — probe_spread cell guard, spread CLI
+# cells/rounds arguments, bench_cells vacuous-payload tail fallback —
+# and the tools/r17_evidence.py shim arity guard, plus ledger/README
+# close-out text) touch NO registered key's body or twin, so no
+# changed-pair fronting this round. The remaining 16 r18-latest keys
+# (sp1, st6, st8, ta3, ta4, ta5, tc1, tf1, u1, udtf1, unp1, w1, w2,
+# w4, w5, w8) would lead an r21 rotation. After r20 no key of any
+# kind has a row older than r18.
 _DRIVER_WINDOW = [
     # core anchors (certified every round)
     "p1_status_gate",
@@ -4285,51 +4300,51 @@ _DRIVER_WINDOW = [
     "a1_a2_order_counter_deltas",
     "q1_pricing_summary",
     "st1_stream_window_agg",
-    # (a) the 16 r16-stale keys (the r18 hand-off list, verified)
-    "ll2_training_corpus_clustered",
-    "ll3_training_corpus_capped",
-    "mm1_media_metadata",
-    "mm2_media_decode",
-    "mm3_frame_sample",
-    "mm4_resize",
-    "n2_lsh_topk",
-    "n3b_ivf_topk_oracle",
-    "pc1_percentiles",
-    "q6_filter_agg",
-    "sk1_salted_join",
-    "st2_stream_dedup",
-    "st3_stream_stateful_counters",
-    "st4_stream_stream_join",
-    "st5_stream_session_window",
-    "st7_stream_static_join",
-    # (b) alphabetically-first 27 of the 43 r17-latest keys
-    "apx1_sketch_aggs",
-    "ch1_doc_chunks",
-    "cs1_correlated_subquery",
-    "d2b_ngram_jaccard_capped",
-    "d3_minhash_lsh",
-    "d3b_minhash_lsh_md5",
-    "d4_simhash",
-    "d4b_simhash_md5",
-    "d5_embedding_near_dup",
-    "d5b_embedding_near_dup_lsh",
-    "diff1_snapshot_diff",
-    "ga1_pandas_grouped_agg",
-    "hop1_hopping_window_agg",
-    "lm1_unigram_freq_score",
-    "mf1_map_explode",
-    "mix1_domain_mixing",
-    "mm2b_media_decode_oracle",
-    "mm4b_resize_oracle",
-    "mo1_moment_aggs",
-    "n1_topk_cosine",
-    "n3_ivf_topk",
-    "pack1_token_budget",
-    "par1_paragraph_dedup",
-    "pii1_redaction",
-    "pu1_scalar_pandas_udf",
-    "q3_shipping_priority",
-    "q4_order_priority",
+    # (a) the 16 r17-stale keys (the r19 hand-off list, verified)
+    "q5_local_supplier_volume",
+    "rc1_recursive_hierarchy",
+    "s1_set_ops",
+    "samp1_stratified_sample",
+    "sd1_substring_dup_report",
+    "sql1_raw_sql",
+    "t5_falsy_defaults",
+    "t7_js_parse_int",
+    "ta1_text_stats",
+    "ta2_lang_id",
+    "up1_unpivot",
+    "w3_sessionize",
+    "w6_lag_lead",
+    "w7_ntile",
+    "x1_json_extract",
+    "x2_explode_sequence",
+    # (b) alphabetically-first 27 of the 43 r18-latest keys
+    "a3_insufficient_stock",
+    "a4_a6_status_transitions",
+    "a5_counter_pivot",
+    "agg1_ordered_collect",
+    "arr1_array_hofs",
+    "bm25_1_query_ranking",
+    "cd1_distinct_agg",
+    "cr1_compression_ratio",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard",
+    "d5c_embedding_near_dup_lsh_planted",
+    "d5d_embedding_lsh_oracle",
+    "d6_editdist_recheck",
+    "dc1_dedup_clusters",
+    "dc2_dedup_clusters_capped",
+    "dec1_decontamination",
+    "dq1_column_profile",
+    "dt1_date_buckets",
+    "g1_rollup",
+    "g2_cube",
+    "g3_grouping_sets",
+    "gf1_calendar_gap_fill",
+    "h1_having",
+    "j2_as_of_join",
+    "j3_range_join",
+    "j4_semi_anti_join",
+    "ll1_training_corpus",
 ]
 
 
