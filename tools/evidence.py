@@ -61,7 +61,8 @@ Subcommands:
 Usage: ``python tools/evidence.py calib``
        ``python tools/evidence.py movers BENCH_cur.json BENCH_prev.json``
        ``python tools/evidence.py benchsteal``
-       ``python tools/evidence.py spread [n_sessions]``
+       ``python tools/evidence.py spread [n_sessions]
+       [--cells=col:query[,...]] [--rounds=rA[,rB...]]``
        ``python tools/evidence.py passwind BENCH_cur.json BENCH_prev.json``
 """
 
@@ -172,8 +173,9 @@ def bench_cells(path: str) -> dict:
     the usual driver shape (`parsed: null`, cells embedded in a
     front-truncated `tail` string).
     """
-    d = json.load(open(path))
-    parsed = d.get("parsed")
+    top = json.load(open(path))
+    d = top
+    parsed = top.get("parsed")
     if (
         not any(c in d for c in _COLUMNS)
         and isinstance(parsed, dict)
@@ -193,13 +195,25 @@ def bench_cells(path: str) -> dict:
             for k, v in (d.get(col) or {}).items():
                 if isinstance(v, (int, float)):
                     out[(col, k)] = float(v)
-        return out
+        if out or not (top.get("tail") or ""):
+            return out
+        # vacuous direct payload (column keys present but zero
+        # numeric cells) with a non-empty tail: fall through to tail
+        # recovery instead of silently reporting 0 cells (ADVICE r19
+        # — no current file has this hybrid shape, but a scan that
+        # reads it as "0 movers" would pass as evidence)
+        print(
+            f"WARNING: {os.path.basename(path)} direct payload has "
+            "column keys but zero numeric cells; falling back to "
+            "tail recovery",
+            file=sys.stderr,
+        )
     # driver-format file: parsed is null, cells live in the (often
     # front-truncated) "tail" output string — recover by section
     # split + regex, like tools/r16_evidence.py. A key cut off by
     # the truncation regexes to a wrong name and drops out of the
     # comparison intersection naturally.
-    tail = d.get("tail") or ""
+    tail = top.get("tail") or ""
     if not tail:
         return out
     # Sections are emitted warm -> cold -> forced and the driver
@@ -385,6 +399,15 @@ def probe_spread(
     would turn the historical command line into a hard exit.
     """
     cells = cells or SPREAD_CELLS
+    # name the configuration up front: a stale invocation (old default
+    # cells or rounds in a later round) must be obvious from the first
+    # line of output (ADVICE r19)
+    print(
+        f"SPREAD config: {n_sessions} session(s), published rounds "
+        + "/".join(rounds)
+        + ", cells: "
+        + " ".join(f"{q}[{col}]" for col, q in cells)
+    )
     published = {
         rnd: published_cells(
             os.path.join(REPO, f"BENCH_{rnd}.json"), cells,
@@ -411,10 +434,24 @@ def probe_spread(
             raise SystemExit(f"spread: pass {i} failed rc={out.returncode}")
         res = json.loads(lines[-1][len("BENCH_PASS_RESULT:"):])
         for col, q in cells:
-            obs[(col, q)].append(res[col][q])
+            cell = (res.get(col) or {}).get(q)
+            if not isinstance(cell, (int, float)):
+                # a missing cell (e.g. a renamed query in a later
+                # round) must die loudly naming the session/column/
+                # query, not with a bare KeyError minutes into a
+                # multi-session probe (ADVICE r19) — mirrors the
+                # published_cells guard style
+                raise SystemExit(
+                    f"spread: session {i} BENCH_PASS_RESULT carries "
+                    f"no {col}/{q} cell — cannot disposition a cell "
+                    "the pass payload does not report"
+                )
+            obs[(col, q)].append(cell)
         print(
             f"SPREAD session {i}: "
-            + " ".join(f"{q}[{col}]={res[col][q]}" for col, q in cells)
+            + " ".join(
+                f"{q}[{col}]={obs[(col, q)][-1]}" for col, q in cells
+            )
         )
     for key in cells:
         col, q = key
@@ -519,10 +556,42 @@ def main(argv: list) -> None:
     elif cmd == "benchsteal":
         benchsteal(argv[1] if len(argv) > 1 else None)
     elif cmd == "spread":
-        n = int(argv[1]) if len(argv) > 1 else 6
+        # custom cells/rounds reachable from the CLI, not just Python
+        # (ADVICE r19): the hardcoded defaults (the six r18 movers vs
+        # r17/r18) run verbatim in a later round would silently
+        # disposition against stale rounds — probe_spread also prints
+        # its configuration as its first output line
+        n, cells, rounds = 6, None, ("r17", "r18")
+        for a in argv[1:]:
+            if a.startswith("--cells="):
+                cells = []
+                for spec in a[len("--cells="):].split(","):
+                    col, _, q = spec.partition(":")
+                    if col not in _COLUMNS or not q:
+                        raise SystemExit(
+                            f"bad --cells entry {spec!r} (expected "
+                            "column:query with column one of "
+                            + ", ".join(_COLUMNS) + ")"
+                        )
+                    cells.append((col, q))
+            elif a.startswith("--rounds="):
+                rounds = tuple(
+                    r for r in a[len("--rounds="):].split(",") if r
+                )
+                if not rounds:
+                    raise SystemExit("--rounds needs at least one round")
+            else:
+                try:
+                    n = int(a)
+                except ValueError:
+                    raise SystemExit(
+                        f"spread: unrecognized argument {a!r} "
+                        "(expected an int n_sessions, --cells=col:"
+                        "query[,...], or --rounds=rA[,rB...])"
+                    )
         if n < 1:
             raise SystemExit(f"n_sessions must be >= 1, got {n}")
-        probe_spread(n)
+        probe_spread(n, cells=cells, rounds=rounds)
     elif cmd == "passwind":
         if len(argv) != 3:
             raise SystemExit(

@@ -40,6 +40,14 @@ if __name__ == "__main__":
     if cmd == "calib":
         print(json.dumps({"calibration": calib()}))
     elif cmd == "movers":
+        if len(sys.argv) != 4:
+            # same loud usage guard as the consolidated evidence.py
+            # CLI — a missing path must not die with a bare
+            # IndexError (ADVICE r19); historical command lines
+            # always pass both paths and are unaffected
+            raise SystemExit(
+                "usage: r17_evidence.py movers <cur.json> <prev.json>"
+            )
         out = movers(sys.argv[2], sys.argv[3])
         print(json.dumps(out, indent=1))
         print(f"{len(out)} mover(s) >15%")
