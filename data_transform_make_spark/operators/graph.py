@@ -82,15 +82,23 @@ def connected_components(
     ``small_graph_threshold``: near-dup pair graphs are usually TINY
     relative to the corpus that produced them (a curated corpus yields
     few pairs; a capped production pass bounds them by construction).
-    When the deduplicated doubled edge list is at most this many rows,
-    solve with union-find ON THE DRIVER — one bounded collect (the
-    ``hot_keys``/broadcast-threshold class of driver action: 100k edges
-    ≈ a few MB) replacing 3+ distributed jobs per round plus a
-    checkpoint per round. Above the threshold — or with ``None``/``0``
-    to force it — the distributed min-label/pointer-jump fixpoint runs
-    unchanged, so scale safety is never lost: the fast path is an
-    optimization gate, not a capacity limit. Both paths produce the
-    identical deterministic output (min reachable id per vertex).
+    When twice the raw pair count is at most this many rows (r20: the
+    gate used to count the doubled+DISTINCT edge list, paying a full 2×
+    |pairs| union+distinct exchange before the first decision — a
+    shuffle the driver path then threw away, since union-find is
+    orientation- and duplicate-insensitive; ``2 × raw >= deduplicated
+    doubled``, so the new gate is conservative — nothing that would
+    have gone distributed can now collect), solve with union-find ON
+    THE DRIVER — one bounded collect (the ``hot_keys``/broadcast-
+    threshold class of driver action: 50k raw pairs ≈ a few MB)
+    replacing 3+ distributed jobs per round plus a checkpoint per
+    round. Above the threshold — or with ``None``/``0`` to force it —
+    the distributed min-label/pointer-jump fixpoint runs unchanged
+    (the doubled+distinct edge list is built off the persisted raw
+    pairs only on that path), so scale safety is never lost: the fast
+    path is an optimization gate, not a capacity limit. Both paths
+    produce the identical deterministic output (min reachable id per
+    vertex).
     """
     spark = pairs.sparkSession
     restore_ckpt: str | None = None
@@ -165,29 +173,32 @@ def connected_components(
         # decided by nothing but edge count)
         e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
             F.col("u").isNotNull() & F.col("v").isNotNull()
-        )
-        edges = (
-            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        # One count materializes the persisted edge frame and gates BOTH
-        # guards: the empty-graph early-out (a well-curated or capped corpus
-        # routinely yields ZERO pairs — without the guard that still costs a
-        # full label-init + one round + convergence count, ~0.5 s of pure job
-        # scheduling) and the small-graph driver fast path. The edges would
-        # be fully materialized by round 1 anyway, so the count re-reads
-        # cached blocks, not the pair-generation lineage.
-        out_schema = edges.select(
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # One count of the RAW pair list (r20 optimization: the gate used
+        # to count the doubled+distinct edge frame, paying a full
+        # union+distinct exchange before the first decision — a 2×
+        # |pairs| shuffle that the driver fast path then threw away;
+        # union-find is orientation- and duplicate-insensitive, so the
+        # fast path can consume raw pairs directly). The count gates BOTH
+        # guards: the empty-graph early-out (a well-curated or capped
+        # corpus routinely yields ZERO pairs — without the guard that
+        # still costs a full label-init + one round + convergence count,
+        # ~0.5 s of pure job scheduling) and the small-graph driver fast
+        # path. 2 × n_raw >= the deduplicated doubled edge count, so the
+        # gate is CONSERVATIVE vs the pre-r20 one: no graph that would
+        # have gone distributed can now collect to the driver (a
+        # duplicate-heavy list may go distributed where it previously
+        # collected — the safe direction).
+        out_schema = e.select(
             F.col("u").alias("id"), F.col("u").alias("cluster_id")
         ).schema
-        n_edges = edges.count()
-        if n_edges == 0:
-            edges.unpersist()
+        n_raw = e.count()
+        if n_raw == 0:
+            e.unpersist()
             # a LOCAL empty frame, not limit(0) over the edge lineage — the
             # latter would re-run pair generation for every consumer
             return pairs.sparkSession.createDataFrame([], out_schema)
-        if small_graph_threshold and n_edges <= small_graph_threshold:
+        if small_graph_threshold and 2 * n_raw <= small_graph_threshold:
             # driver union-find with path compression; output = min vertex id
             # per component, identical to the distributed fixpoint
             parent: dict = {}
@@ -200,7 +211,7 @@ def connected_components(
                     parent[x], x = root, parent[x]
                 return root
 
-            for row in edges.collect():
+            for row in e.collect():
                 a, b = row[0], row[1]
                 if a not in parent:
                     parent[a] = a
@@ -209,7 +220,7 @@ def connected_components(
                 ra, rb = _find(a), _find(b)
                 if ra != rb:
                     parent[ra] = rb
-            edges.unpersist()
+            e.unpersist()
             comp_min: dict = {}
             roots = {v: _find(v) for v in parent}
             for v, r in roots.items():
@@ -218,6 +229,15 @@ def connected_components(
             return spark.createDataFrame(
                 [(v, comp_min[r]) for v, r in roots.items()], out_schema
             )
+        # Distributed path: build the doubled + deduplicated edge list the
+        # fixpoint iterates over — off the PERSISTED raw pairs, so pair
+        # generation is not re-run. The raw persist is released once the
+        # doubled frame is materialized by the label init below.
+        edges = (
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         # Seeded init: label(u) = min(u, min neighbor) — the neighbor-min half
         # of round 1 folded into the vertex-set construction. Costs the same
         # single shuffle as the old distinct-vertices + identity init (groupBy
@@ -234,6 +254,9 @@ def connected_components(
             )
         )
         labels = _cut(labels)
+        # the label init materialized `edges` through the raw-pair cache;
+        # the raw frame has no further consumer
+        e.unpersist()
 
         for rnd in range(max_iter):
             # 1. neighbor-min: min label over each vertex's neighborhood.

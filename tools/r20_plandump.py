@@ -1,0 +1,61 @@
+"""Dump .explain('formatted') for every bench headline query to
+plans/<tag>/<query>_<suffix>.txt (optimization-round evidence).
+
+Usage: python tools/r20_plandump.py <suffix: before|after> [query ...]
+Default sf dir: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1.
+Eager-materializing queries (ll*/d2/d3/dec1/bm25) are rendered through
+their ``eager=False`` lazy form where the callable supports it, so the
+plan shows the real composed scan/shuffle shape rather than a
+post-checkpoint stub (the explain_audit.py convention).
+"""
+from __future__ import annotations
+
+import inspect
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from contextlib import redirect_stdout
+
+from data_transform_make_spark import corpus  # noqa: E402
+from data_transform_make_spark.session import get_spark  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench  # noqa: E402
+
+
+def main() -> int:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    only = set(sys.argv[2:])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r20",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("r20-plandump")
+    qs = corpus.queries()
+    for name in bench.HEADLINE:
+        if only and name not in only:
+            continue
+        fn = qs[name]
+        kwargs = {}
+        if "eager" in inspect.signature(fn).parameters:
+            kwargs["eager"] = False
+        df = fn(spark, sf_dir, **kwargs)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(buf.getvalue())
+        print(f"wrote {path}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
