@@ -30,6 +30,23 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Schema memo for :func:`load_table` — METADATA only, never data or
+# results (r20 optimization). Parquet schema inference re-reads the file
+# footer through a fresh DataSource resolution on EVERY ``read.parquet``
+# call (~100 ms of driver-side py4j + footer IO per call in this
+# environment, measured vs ~20 ms with an explicit schema), and the
+# engine's queries call load_table 1-6 times each INSIDE the timed
+# region. Production engines do not re-infer table schemas per query —
+# they read them from a catalog/manifest (the same argument the
+# optimization guide makes for table formats at §6). The memo is the
+# in-process catalog: keyed by (path, size, mtime_ns) so a rewritten
+# fixture re-infers, holding only the StructType. A fresh process (each
+# bench pass is its own subprocess) starts empty and pays one inference
+# per table — nothing is reused ACROSS runs, every invocation still
+# computes from the parquet inputs.
+_SCHEMA_MEMO: dict[tuple, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy Parquet scan of one fixture table.
 
@@ -44,11 +61,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     caller mutating ``spark.sql.session.timeZone`` between load and action
     can no longer shift the instants (the cast path remains only as a
     fallback for frames built before the conf applies).
+
+    The inferred schema is memoized per (path, size, mtime) — see
+    ``_SCHEMA_MEMO`` above; the two legacy-read confs are still pinned on
+    every call, so a memoized schema is decoded under exactly the conf it
+    was inferred under.
     """
     pin_session_conf(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        # non-local / unstat-able path: skip the memo, infer as before
+        key = None
+    if key is not None and key in _SCHEMA_MEMO:
+        df = spark.read.schema(_SCHEMA_MEMO[key]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_MEMO[key] = df.schema
     from pyspark.sql import functions as F  # local import keeps module load light
     from pyspark.sql import types as T
 
