@@ -669,6 +669,25 @@ def ngram_jaccard_pairs(
     )
     if materialize:
         proj = eager_cut(proj, checkpoint_dir)
+    return ngram_jaccard_pairs_from_projection(proj, threshold, max_df)
+
+
+def ngram_jaccard_pairs_from_projection(
+    proj: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The inverted-index pair-generation tail of
+    :func:`ngram_jaccard_pairs`, over an already-built shingle
+    projection ``(__id, __arr)`` where ``__arr`` is the DISTINCT
+    shingle array per doc (extracted r20 so a pipeline that already
+    materializes a wider per-doc projection — the curation builders'
+    fused base carrying (id, lang, token_count, shingles) in ONE
+    checkpoint — can feed pair generation without a second projection
+    pass or a second cut; semantics and shuffle shape are byte-
+    identical to the tail this was cut from). The caller owns the
+    projection's materialization; everything here is lazy."""
+    _check_unit_threshold(threshold, "ngram_jaccard_pairs_from_projection")
     sh = proj.select("__id", F.explode("__arr").alias("__sh"))
     # per-doc set size is a map-only expression over the un-exploded array —
     # no groupBy shuffle and no second pass over the exploded shingle table

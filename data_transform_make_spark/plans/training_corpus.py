@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 from ..functions.cols import claim_scratch
 from ..functions.text import doc_fingerprint, quality_score, shingles, token_count
 from ..operators.checkpointing import eager_cut
-from ..operators.dedup import _spread, keep_min_by, ngram_jaccard_pairs
+from ..operators.dedup import (
+    _spread,
+    keep_min_by,
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_from_projection,
+)
 
 SPLIT_MOD = 4294967296  # 2^32
 SPLIT_MULT = 2654435761  # Knuth multiplicative hash constant
@@ -238,10 +243,9 @@ def decontamination_report(
 
 def _quality_exact(docs: DataFrame, quality_min: float) -> DataFrame:
     """Shared pipeline prefix: quality gate, then exact (fingerprint)
-    dedup. Returned LAZY and uncached — the builders persist it for the
-    duration of their pipeline and release it before returning (the
-    deduped corpus feeds two consumers there; a leaked session-long cache
-    of a near-full corpus is the worst-case CacheManager accumulation).
+    dedup. Returned LAZY and uncached — the builders derive their fused
+    base projection from it (one lineage cut carries everything both
+    downstream consumers need; see :func:`_curation_base`).
 
     min_by aggregation, not a row_number window (round 6, same change as
     exact_dedup): partial map-side combine collapses duplicate docs
@@ -264,12 +268,16 @@ def _quality_exact(docs: DataFrame, quality_min: float) -> DataFrame:
 
 def _split_stats(kept: DataFrame, train_cut: int) -> DataFrame:
     """Shared pipeline suffix: deterministic split + per-(split, lang)
-    doc/token stats."""
+    doc/token stats. ``kept`` carries either raw ``text`` (token counts
+    computed here) or an already-computed ``__tok`` column (the fused
+    base of :func:`_curation_base`, which moved the token_count regex
+    into the base materialization pass — r20)."""
+    tok = F.col("__tok") if "__tok" in kept.columns else token_count("text")
     return (
         kept.select(
             hash_split("doc_id", train_cut).alias("split"),
             "lang",
-            token_count("text").alias("__tok"),
+            tok.alias("__tok"),
         )
         .groupBy("split", "lang")
         .agg(
@@ -277,6 +285,54 @@ def _split_stats(kept: DataFrame, train_cut: int) -> DataFrame:
             F.sum("__tok").alias("n_tokens"),
         )
     )
+
+
+def _curation_base(
+    docs: DataFrame,
+    quality_min: float,
+    with_shingles: bool,
+    shingle_n: int = 3,
+    eager: bool = True,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The builders' fused base projection (r20): quality gate → exact
+    dedup → ONE narrow per-doc projection carrying everything BOTH
+    downstream consumers need — ``(doc_id, lang, __tok, [__arr])`` where
+    ``__tok`` is the token count (the stats leg's only use of ``text``)
+    and ``__arr`` the distinct shingle array (pair generation's input;
+    omitted when the caller injects precomputed pairs).
+
+    Replaces the pre-r20 two-materialization shape (a ``persist`` of the
+    full deduped corpus TEXT for the stats/anti-join leg PLUS a
+    localCheckpoint of a second shingle projection inside pair
+    generation) with a single ``eager_cut``: document text now never
+    enters the cache or the checkpoint at all, the token_count regex
+    runs in the same parallel pass as the shingle HOF instead of as a
+    separate post-anti-join pass, and there is no persist to scope or
+    release (the cache-release invariant holds trivially). Measured
+    same-session A/B at sf0.1: ll2 4.28 → 3.72 s min / 4.41 → 3.93
+    median, results identical. At 100 TB this is one full-corpus
+    materialization instead of two, and the materialized bytes are
+    ~40 B/doc + the shingle set rather than the corpus text.
+
+    ``eager=False`` keeps the whole plan lazy (no cut anywhere); each
+    consumer then re-derives the base — the documented inspection/
+    composition mode, unchanged in spirit from the pre-r20 lazy form.
+    """
+    exact = _quality_exact(docs, quality_min)
+    cols = [
+        F.col("doc_id"),
+        F.col("lang"),
+        token_count("text").alias("__tok"),
+    ]
+    if with_shingles:
+        cols.append(
+            F.array_distinct(shingles(F.col("text"), shingle_n)).alias("__arr")
+        )
+    base = _spread(exact, "doc_id").select(*cols)
+    if eager:
+        base = eager_cut(base, checkpoint_dir)
+    return base
 
 
 def build_training_corpus(
@@ -305,7 +361,7 @@ def build_training_corpus(
     ``checkpoint_dir`` (advice, round 9): the eager cuts here default to
     executor-resident ``localCheckpoint`` — fine in local mode, but on a
     real cluster a lost executor kills the job. A reliable store path
-    routes every cut (the shingle projection inside pair generation and
+    routes every cut (the fused base projection of :func:`_curation_base` and
     the stats result) through ``DataFrame.checkpoint`` instead
     (operators/checkpointing.eager_cut). Under ``eager=False`` there are
     NO cuts in this pipeline at all, so a supplied ``checkpoint_dir``
@@ -320,28 +376,29 @@ def build_training_corpus(
             "under eager=False, so nothing would be checkpointed; pass "
             "eager=True for reliable cuts or drop checkpoint_dir"
         )
-    # the deduped corpus feeds two consumers (pair generation + the final
-    # anti-join); without materialization Spark re-derives the quality
-    # regexes and the fingerprint shuffle per consumer (audited: 4 scans
-    # of documents). The persist is scoped to this call — the (tiny)
-    # stats result is materialized eagerly, then the cache released; the
-    # 100 TB equivalent is checkpointing the deduped corpus to Parquet
-    # between the dedup and near-dup stages.
-    exact = _quality_exact(docs, quality_min)
-    if eager:
-        exact = exact.persist()
+    # ONE fused materialization (r20, :func:`_curation_base`): the
+    # deduped corpus feeds two consumers (pair generation + the final
+    # anti-join/stats), and everything either needs fits one narrow
+    # projection — (doc_id, lang, token_count, shingle set). The pre-r20
+    # shape persisted the full deduped TEXT for the stats leg and cut a
+    # second shingle projection inside pair generation; the 100 TB
+    # equivalent of this cut is checkpointing the projection to Parquet
+    # between the dedup and near-dup stages (~40 B/doc + shingles, vs
+    # the corpus text).
+    base = _curation_base(
+        docs, quality_min, with_shingles=pairs is None,
+        eager=eager, checkpoint_dir=checkpoint_dir,
+    )
     if pairs is None:
-        pairs = ngram_jaccard_pairs(
-            exact, "doc_id", "text", shingle_n=3,
+        pairs = ngram_jaccard_pairs_from_projection(
+            base.select(F.col("doc_id").alias("__id"), "__arr"),
             threshold=near_dup_threshold, max_df=max_df,
-            materialize=eager, checkpoint_dir=checkpoint_dir,
         )
     drop_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = exact.join(drop_ids, "doc_id", "left_anti")
+    kept = base.join(drop_ids, "doc_id", "left_anti")
     stats = _split_stats(kept, train_cut)
     if eager:
         stats = eager_cut(stats, checkpoint_dir)
-        exact.unpersist()
     return stats
 
 
@@ -382,18 +439,18 @@ def build_training_corpus_clustered(
     """
     from ..operators.graph import connected_components
 
-    # persist scope identical to build_training_corpus: released after the
-    # eager stats materialization below. The CC rounds run eagerly anyway
-    # (per-round convergence counts), so this adds no extra jobs.
-    exact = _quality_exact(docs, quality_min)
-    if eager:
-        exact = exact.persist()
+    # fused-base shape identical to build_training_corpus (r20,
+    # :func:`_curation_base`); under eager=False the base stays lazy and
+    # the checkpoint_dir is consumed by the CC rounds only (which run
+    # eagerly regardless), exactly the pre-r20 contract.
+    base = _curation_base(
+        docs, quality_min, with_shingles=pairs is None,
+        eager=eager, checkpoint_dir=checkpoint_dir if eager else None,
+    )
     if pairs is None:
-        pairs = ngram_jaccard_pairs(
-            exact, "doc_id", "text", shingle_n=3,
+        pairs = ngram_jaccard_pairs_from_projection(
+            base.select(F.col("doc_id").alias("__id"), "__arr"),
             threshold=near_dup_threshold, max_df=max_df,
-            materialize=eager,
-            checkpoint_dir=checkpoint_dir if eager else None,
         )
     cc = connected_components(
         pairs, src="id_a", dst="id_b", checkpoint_dir=checkpoint_dir
@@ -401,11 +458,10 @@ def build_training_corpus_clustered(
     drop_ids = cc.filter(F.col("cluster_id") != F.col("id")).select(
         F.col("id").alias("doc_id")
     )
-    kept = exact.join(drop_ids, "doc_id", "left_anti")
+    kept = base.join(drop_ids, "doc_id", "left_anti")
     stats = _split_stats(kept, train_cut)
     if eager:
         stats = eager_cut(stats, checkpoint_dir)
-        exact.unpersist()
     return stats
 
 
