@@ -200,7 +200,16 @@ def p4_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
     )
-    return first_wins_dedup(li, ["l_orderkey", "l_partkey"], ["l_linenumber", "l_quantity"])
+    # packed_order (r21): bounds-checked hash-aggregable fast path —
+    # min(packed bigint) instead of min_by(struct) (which is always a
+    # SortAggregate); identical winners by construction, validated per
+    # call, falls back to the struct path on out-of-range data
+    return first_wins_dedup(
+        li,
+        ["l_orderkey", "l_partkey"],
+        ["l_linenumber", "l_quantity"],
+        packed_order=True,
+    )
 
 
 @_register(
@@ -340,7 +349,16 @@ def a1_a2_order_counter_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "l_partkey", "l_quantity", "l_linenumber"
     )
-    deduped = first_wins_dedup(lines, ["l_orderkey", "l_partkey"], ["l_linenumber", "l_quantity"])
+    # packed_order (r21): see p4 — here the bounds probe reads the RAW
+    # lineitem columns (a superset of the joined rows, so its bounds are
+    # conservatively valid) instead of re-running the join
+    deduped = first_wins_dedup(
+        lines,
+        ["l_orderkey", "l_partkey"],
+        ["l_linenumber", "l_quantity"],
+        packed_order=True,
+        bounds_probe=li,
+    )
     agg = deduped.groupBy("l_partkey").agg(
         F.sum("l_quantity").alias("demand"), F.count("*").alias("n_lines")
     )

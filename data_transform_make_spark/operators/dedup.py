@@ -44,7 +44,13 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n, *cols)
 
 
-def keep_min_by(df: DataFrame, keys: list, order_cols: list) -> DataFrame:
+def keep_min_by(
+    df: DataFrame,
+    keys: list,
+    order_cols: list,
+    packed_order: bool = False,
+    bounds_probe: DataFrame | None = None,
+) -> DataFrame:
     """Keep, per key group, the single row that is minimal under the
     total order ``order_cols`` — the shared kernel of every first-wins /
     smallest-id dedup in the engine.
@@ -60,7 +66,30 @@ def keep_min_by(df: DataFrame, keys: list, order_cols: list) -> DataFrame:
     keys. ``keys`` may be names or Column expressions; ``order_cols``
     MUST be a total order within each group or the winner is
     partition-dependent (same contract the window form had).
+
+    ``packed_order=True`` (r21 optimization, guide §2.3 narrower types /
+    §5 hash vs sort aggregate) opts into a bounds-checked fast path:
+    ``min_by`` over struct buffers compiles to **SortAggregate**
+    everywhere (struct agg buffers are not UnsafeRow-mutable — r20
+    falsification #7), so every call pays a sort on both sides of its
+    exchange. When the row is fully determined by ``keys + order_cols``
+    and the two order columns are integral-valued and jointly fit in 63
+    bits, the pair packs losslessly into ONE bigint whose numeric order
+    IS the lexicographic order — ``min(packed)`` then compiles to
+    HashAggregate and the shuffle carries 8 bytes of order instead of a
+    struct. Eligibility is verified at plan-build time by a cheap
+    narrow aggregate over the order columns (or over ``bounds_probe``, a
+    caller-supplied SUPERSET frame — e.g. the raw table feeding a join —
+    whose bounds are cheaper to read and conservatively valid for any
+    row subset); any violation (NULLs, NaN, fractional or ``-0.0``
+    doubles, joint range over 63 bits) falls back to the min_by(struct)
+    path, so results are identical by construction on EVERY input. See
+    ``_packed_min_by``.
     """
+    if packed_order:
+        fast = _packed_min_by(df, keys, order_cols, bounds_probe)
+        if fast is not None:
+            return fast
     cols = df.columns
     ordk = F.struct(*[F.col(c) if isinstance(c, str) else c for c in order_cols])
     return (
@@ -70,15 +99,143 @@ def keep_min_by(df: DataFrame, keys: list, order_cols: list) -> DataFrame:
     )
 
 
-def first_wins_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+def _packed_min_by(
+    df: DataFrame,
+    keys: list,
+    order_cols: list,
+    bounds_probe: DataFrame | None = None,
+):
+    """Hash-aggregable first-wins kernel: ``min(packed_bigint)`` where the
+    packed value order-embeds the ``(a, b)`` order pair. Returns ``None``
+    whenever the safe struct path must be used instead.
+
+    Structure required (else ``None``): plain-name keys/order columns,
+    exactly two order columns, and every payload column a key or an
+    order column (the winning row then decodes entirely from the packed
+    min — no payload travels in the aggregation buffer).
+
+    Value safety (else ``None``): one narrow global aggregate reads
+    ``min/max`` of both order columns, their null counts, and — for a
+    DOUBLE second column — whether any value fails the exact
+    long-round-trip (fractional, NaN/Inf, out of 2^63 range) or is
+    ``-0.0`` (which would decode as ``+0.0``: same ordering, different
+    bytes). The observed ranges pick the split ``k`` =
+    bit-length(b_range); eligibility requires a_range < 2^(63-k). The
+    encoding ``(a - a_min) * 2^k + (b - b_min)`` is then a strictly
+    order-preserving injection into [0, 2^63) — min(packed) is EXACTLY
+    min_by the lexicographic pair, and shiftright/bitwiseAND decode the
+    winner losslessly. NULL order values are ineligible (min() skips
+    NULLs; min_by's struct order ranks them first — semantics differ).
+
+    The probe costs one extra narrow scan per call; the win is
+    HashAggregate instead of SortAggregate (no map-side or reduce-side
+    sort at any scale) and an 8-byte order key through the exchange.
+    Callers for whom the probe would re-run a join can pass the raw
+    ``bounds_probe`` superset instead.
+    """
+    from pyspark.sql import types as T
+
+    if len(order_cols) != 2:
+        return None
+    if not all(isinstance(c, str) for c in order_cols):
+        return None
+    key_names = [k for k in keys if isinstance(k, str)]
+    if len(key_names) != len(keys):
+        return None
+    if set(df.columns) != set(key_names) | set(order_cols) or len(df.columns) != len(
+        key_names
+    ) + len(order_cols):
+        return None
+    a, b = order_cols
+    ta, tb = df.schema[a].dataType, df.schema[b].dataType
+    _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if not isinstance(ta, _INTEGRAL):
+        return None
+    b_is_double = isinstance(tb, T.DoubleType)
+    if not (isinstance(tb, _INTEGRAL) or b_is_double):
+        return None
+
+    probe = bounds_probe if bounds_probe is not None else df
+    if a not in probe.columns or b not in probe.columns:
+        return None
+    # try_cast, not cast: under ANSI a NaN/Inf/out-of-range double would
+    # THROW at probe time; try_cast yields NULL, which the round-trip
+    # predicate classifies as bad and the null counts reject
+    bl = F.col(b).try_cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.count(a).alias("na"),
+        F.count(b).alias("nb"),
+        F.min(a).alias("amin"),
+        F.max(a).alias("amax"),
+        F.min(bl).alias("bmin"),
+        F.max(bl).alias("bmax"),
+    ]
+    if b_is_double:
+        # exact long round-trip (rejects fractional, NaN, +-Inf and
+        # anything outside long range in one predicate: the cast of such
+        # values either differs or NULLs under try semantics) and -0.0
+        # (decodes +0.0 — equal under Spark ordering, different bytes).
+        # The -0.0 probe is a string cast, not 1/b < 0: ANSI mode raises
+        # DIVIDE_BY_ZERO even for double division.
+        bad = (
+            bl.isNull()
+            | (bl.cast("double") != F.col(b))
+            | (F.col(b).cast("string") == "-0.0")
+        )
+        aggs.append(F.max(F.when(F.col(b).isNotNull() & bad, 1).otherwise(0)).alias("bbad"))
+    st = probe.select(a, b).agg(*aggs).first()
+    if st["n"] == 0:
+        return None  # empty input: struct path returns the same empty frame
+    if st["na"] != st["n"] or st["nb"] != st["n"]:
+        return None
+    if b_is_double and st["bbad"] == 1:
+        return None
+    if st["amin"] is None or st["bmin"] is None:
+        return None
+    a_range = int(st["amax"]) - int(st["amin"])
+    b_range = int(st["bmax"]) - int(st["bmin"])
+    k = max(1, b_range.bit_length())
+    if a_range.bit_length() > 63 - k:
+        return None
+    amin, bmin = int(st["amin"]), int(st["bmin"])
+    packed = (F.col(a).cast("long") - F.lit(amin)) * F.lit(1 << k) + (
+        bl - F.lit(bmin)
+    )
+    agg = df.groupBy(*keys).agg(F.min(packed).alias("__p"))
+    dec_a = (F.shiftright(F.col("__p"), k) + F.lit(amin)).cast(ta).alias(a)
+    dec_b_long = F.col("__p").bitwiseAND(F.lit((1 << k) - 1)) + F.lit(bmin)
+    dec_b = dec_b_long.cast(tb).alias(b)
+    out = []
+    for c in df.columns:
+        if c == a:
+            out.append(dec_a)
+        elif c == b:
+            out.append(dec_b)
+        else:
+            out.append(F.col(c))
+    return agg.select(*out)
+
+
+def first_wins_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    packed_order: bool = False,
+    bounds_probe: DataFrame | None = None,
+) -> DataFrame:
     """Keep the first row per key under an explicit total order.
 
     Replicates the reference's ``updatedInventoryIds`` Set semantics
     (makeRouter.js:86,99-101): array position decides the winner, so callers
     must carry a line-number column (``posexplode``) into ``order_cols``.
-    Execution: :func:`keep_min_by` (map-side-combining aggregate).
+    Execution: :func:`keep_min_by` (map-side-combining aggregate);
+    ``packed_order``/``bounds_probe`` pass through to its bounds-checked
+    hash-aggregable fast path.
     """
-    return keep_min_by(df, key_cols, order_cols)
+    return keep_min_by(
+        df, key_cols, order_cols, packed_order=packed_order, bounds_probe=bounds_probe
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -165,6 +165,7 @@ def connected_components(
         sc._dtm_checkpoint_root = None
         sc._dtm_checkpoint_set = None
 
+    e = edges = None
     try:
         # an edge with a NULL endpoint carries no adjacency information —
         # dropped up front so BOTH paths see the same graph (the driver
@@ -299,7 +300,15 @@ def connected_components(
                 if changed == 0:
                     break
 
-        edges.unpersist()
         return labels.select("id", F.col("label").alias("cluster_id"))
     finally:
+        # release both caches here rather than only on the success paths:
+        # an exception between persist and the success-path unpersist
+        # (during collect or a fixpoint round) would otherwise leak the
+        # cached frame for the session (advice, round 20). unpersist is
+        # idempotent, so the early-out paths above may also have released
+        # already.
+        for _df in (e, edges):
+            if _df is not None:
+                _df.unpersist()
         _restore()

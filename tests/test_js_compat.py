@@ -26,7 +26,12 @@ from data_transform_make_spark.functions.js_compat import (
 # semantics, the set itself is the spec.
 from data_transform_make_spark.functions.js_compat import JS_WS
 
-_LEAD = re.compile("^[" + re.escape(JS_WS) + r"]*([+-]?\d+)")
+# [0-9], NOT \d: Python \d matches Unicode decimal digits (e.g. "٣"),
+# but JS parseInt's StrDecimalDigit is ASCII 0-9 only — as is Java \d,
+# which the engine's pattern runs under. A \d-based Python reference
+# wrongly parses "٣" as 3 where both JS and the engine yield NaN
+# (driver r20 drew such a string and failed the suite).
+_LEAD = re.compile("^[" + re.escape(JS_WS) + r"]*([+-]?[0-9]+)")
 
 
 def py_js_parse_int(s):
@@ -41,14 +46,16 @@ def test_js_parse_int_examples(spark):
              "\u00a07",   # NBSP: JS parseInt trims it (Java \\s would not)
              "\ufeff8",   # BOM: likewise StrWhiteSpace
              "\x1f5",     # C0 unit separator: NaN in JS (Python \\s matches!)
-             "\x855"]     # NEL: NaN in JS
+             "\x855",     # NEL: NaN in JS
+             "٣",         # ARABIC-INDIC digit: NaN in JS (Python \\d matches!)
+             "１２"]      # FULLWIDTH digits: likewise NaN in JS
     df = spark.createDataFrame([(c,) for c in cases], "s string")
     got = [r.v for r in df.select(js_parse_int("s").alias("v")).collect()]
     assert got == [py_js_parse_int(c) for c in cases]
     # and against hand-checked JS parseInt outputs, independent of the
     # shared JS_WS constant (verified in a JS engine)
     assert got == [12, None, None, None, -7, 3, 0, 42, 9, None,
-                   7, 8, None, None]
+                   7, 8, None, None, None, None]
 
 
 @settings(max_examples=20, deadline=None)

@@ -1,12 +1,17 @@
-"""Dump .explain('formatted') for every bench headline query to
-plans/<tag>/<query>_<suffix>.txt (optimization-round evidence).
+"""Dump .explain('formatted') for bench headline queries — or any
+explicitly named registered query — to plans/r21/<query>_<suffix>.txt
+(optimization-round evidence).
 
-Usage: python tools/r20_plandump.py <suffix: before|after> [query ...]
+Usage: python tools/r21_plandump.py <suffix: before|after> [query ...]
 Default sf dir: $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1.
 Eager-materializing queries (ll*/d2/d3/dec1/bm25) are rendered through
 their ``eager=False`` lazy form where the callable supports it, so the
 plan shows the real composed scan/shuffle shape rather than a
 post-checkpoint stub (the explain_audit.py convention).
+
+Unlike r20_plandump, explicitly named queries need not be in the bench
+headline set (this round touches p4_first_wins_dedup, which is
+oracle-checked but not benched).
 """
 from __future__ import annotations
 
@@ -27,19 +32,18 @@ import bench  # noqa: E402
 
 def main() -> int:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
-    only = set(sys.argv[2:])
+    only = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r20",
+        "r21",
     )
     os.makedirs(out_dir, exist_ok=True)
-    spark = get_spark("r20-plandump")
+    spark = get_spark("r21-plandump")
     qs = corpus.queries()
-    for name in bench.HEADLINE:
-        if only and name not in only:
-            continue
+    names = only if only else bench.HEADLINE
+    for name in names:
         fn = qs[name]
         kwargs = {}
         if "eager" in inspect.signature(fn).parameters:
