@@ -236,19 +236,29 @@ def main() -> None:
             f"{forced_missing}\n"
         )
     total = round(sum(timings.values()), 3)
+    # Key ORDER is deliberate (round 21; the values, fields and
+    # methodology are unchanged): the external driver stores only the
+    # LAST 2000 characters of output as its evidence tail, and the full
+    # line is ~2.5k — with the warm "queries" section first (the r14-r20
+    # order), front-truncation ate exactly the warm cells the next
+    # round's comparison needs (BENCH_r19.json parsed: null). The
+    # auxiliary sections (cold/forced/missing) now come first and the
+    # contract-critical fields — warm queries, value, pass totals, sf —
+    # last, so any 2000-char suffix contains them intact.
+    # tools/check_bench_line.py pins the round-trip.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "queries_cold": cold,
                 "queries_forced": forced,
                 "forced_missing": forced_missing,
+                "queries": timings,
                 "pass_totals": [
                     round(sum(p["queries"].values()), 3) for p in passes
                 ],
+                "value": total,
                 "sf": sf,
             }
         )

@@ -44,7 +44,54 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # bench pass is its own subprocess) starts empty and pays one inference
 # per table — nothing is reused ACROSS runs, every invocation still
 # computes from the parquet inputs.
+#
+# Layout assumption (advice, round 20): the key os.stat()s the TOP-LEVEL
+# path, which is exact for the flat single-file fixtures this loader
+# serves and for Spark-style overwrite of a directory dataset (overwrite
+# recreates the directory, changing its mtime). An in-place rewrite of a
+# part file INSIDE a directory-style dataset that preserves the
+# directory's entry list would leave dir size/mtime unchanged and serve
+# a stale schema — if this loader ever grows a directory-dataset caller
+# with in-place part rewrites, fold the max part-file mtime into the key.
 _SCHEMA_MEMO: dict[tuple, object] = {}
+
+# Conf-pin flag attribute set on the SparkSession once its four runtime
+# invariants (UTC session TZ, AQE on, legacy nanos-as-long parquet read,
+# NTZ inference off) have been pinned (r21 optimization; r20 "not yet
+# optimized" #3). Each ``spark.conf.set`` is a py4j round-trip and
+# ``load_table`` runs 1-6 times INSIDE every timed query — the four
+# per-call sets summed to ~0.2-0.25 s across a bench pass while writing
+# the same values every time. The pin is now once per session object
+# (the same pattern as ``sc._dtm_checkpoint_root``): a fresh session —
+# the driver's vanilla session, each bench-pass subprocess — pays it
+# exactly once.
+#
+# CONTRACT (the invalidation hook): the per-call re-pin used to silently
+# repair a caller who mutated one of the pinned confs between queries.
+# That repair was never a documented API — the engine's own queries all
+# assume the pinned values end-to-end — but a caller who deliberately
+# mutates them can restore the old behavior by calling
+# :func:`unpin_session_conf` afterwards, which forces the next
+# ``load_table`` to re-pin. ``tests/test_loader_conf_pin.py`` pins both
+# directions (skip-when-pinned, re-pin-after-unpin).
+_PIN_ATTR = "_dtm_conf_pinned"
+
+
+def _pin_once(spark: SparkSession) -> None:
+    if getattr(spark, _PIN_ATTR, False):
+        return
+    pin_session_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    setattr(spark, _PIN_ATTR, True)
+
+
+def unpin_session_conf(spark: SparkSession) -> None:
+    """Invalidate the once-per-session conf pin: the next ``load_table``
+    on this session re-pins all four runtime invariants. Call after
+    deliberately mutating session TZ / AQE / legacy-parquet confs."""
+    if getattr(spark, _PIN_ATTR, False):
+        setattr(spark, _PIN_ATTR, False)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,13 +110,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     fallback for frames built before the conf applies).
 
     The inferred schema is memoized per (path, size, mtime) — see
-    ``_SCHEMA_MEMO`` above; the two legacy-read confs are still pinned on
-    every call, so a memoized schema is decoded under exactly the conf it
-    was inferred under.
+    ``_SCHEMA_MEMO`` above; the conf pin is once per session — see
+    ``_PIN_ATTR``/``unpin_session_conf`` above — so a memoized schema is
+    decoded under exactly the conf it was inferred under.
     """
-    pin_session_conf(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _pin_once(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         st = os.stat(path)
