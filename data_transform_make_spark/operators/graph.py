@@ -175,31 +175,41 @@ def connected_components(
         e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
             F.col("u").isNotNull() & F.col("v").isNotNull()
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        # One count of the RAW pair list (r20 optimization: the gate used
-        # to count the doubled+distinct edge frame, paying a full
-        # union+distinct exchange before the first decision — a 2×
-        # |pairs| shuffle that the driver fast path then threw away;
-        # union-find is orientation- and duplicate-insensitive, so the
-        # fast path can consume raw pairs directly). The count gates BOTH
-        # guards: the empty-graph early-out (a well-curated or capped
-        # corpus routinely yields ZERO pairs — without the guard that
-        # still costs a full label-init + one round + convergence count,
-        # ~0.5 s of pure job scheduling) and the small-graph driver fast
-        # path. 2 × n_raw >= the deduplicated doubled edge count, so the
-        # gate is CONSERVATIVE vs the pre-r20 one: no graph that would
-        # have gone distributed can now collect to the driver (a
-        # duplicate-heavy list may go distributed where it previously
-        # collected — the safe direction).
+        # ONE bounded collect of the RAW pair list gates everything (r21;
+        # r20 had replaced the doubled+distinct count with a raw count —
+        # this folds the remaining count job and the fast path's collect
+        # job into a single `limit(cap).collect()`): `cap` is exactly one
+        # more row than the fast path may hold (2·n_raw ≤ threshold ⟺
+        # n_raw ≤ threshold//2), so a result SHORTER than cap IS the
+        # complete pair list — gate decision and fast-path data in one
+        # job — while a truncated result proves the graph exceeds the
+        # gate and is discarded (bounded driver memory: ≤ cap ≈
+        # threshold/2 rows of two ids, the hot_keys/broadcast class of
+        # driver action). Union-find is orientation-, duplicate- AND
+        # order-insensitive, so an arbitrary-order complete list is fine.
+        # Gate arithmetic is unchanged from r20 (conservative vs the
+        # doubled+distinct gate: 2×raw ≥ dedup-doubled). The guards it
+        # serves are unchanged too: the empty-graph early-out (a
+        # well-curated or capped corpus routinely yields ZERO pairs —
+        # without the guard that still costs a full label-init + one
+        # round + convergence count, ~0.5 s of pure job scheduling) and
+        # the small-graph driver fast path. Measured interleaved
+        # (isolated gate, d2 pair frame): 2.393 → 1.910 s min at sf0.1,
+        # 7.796 → 7.173 at sf1.0. The distributed path materializes any
+        # partitions the bounded collect did not reach through the same
+        # persist, so pair generation still runs at most once per
+        # partition.
         out_schema = e.select(
             F.col("u").alias("id"), F.col("u").alias("cluster_id")
         ).schema
-        n_raw = e.count()
-        if n_raw == 0:
+        cap = (small_graph_threshold // 2 + 1) if small_graph_threshold else 1
+        head = e.limit(cap).collect()
+        if not head:
             e.unpersist()
             # a LOCAL empty frame, not limit(0) over the edge lineage — the
             # latter would re-run pair generation for every consumer
             return pairs.sparkSession.createDataFrame([], out_schema)
-        if small_graph_threshold and 2 * n_raw <= small_graph_threshold:
+        if small_graph_threshold and len(head) < cap:
             # driver union-find with path compression; output = min vertex id
             # per component, identical to the distributed fixpoint
             parent: dict = {}
@@ -212,7 +222,7 @@ def connected_components(
                     parent[x], x = root, parent[x]
                 return root
 
-            for row in e.collect():
+            for row in head:
                 a, b = row[0], row[1]
                 if a not in parent:
                     parent[a] = a
