@@ -196,7 +196,9 @@ def _packed_min_by(
     a_range = int(st["amax"]) - int(st["amin"])
     b_range = int(st["bmax"]) - int(st["bmin"])
     k = max(1, b_range.bit_length())
-    if a_range.bit_length() > 63 - k:
+    # k <= 62, not 63: even with a_range == 0 a 63-bit b split would
+    # need the literal 2^63, which overflows a Spark long
+    if k > 62 or a_range.bit_length() > 63 - k:
         return None
     amin, bmin = int(st["amin"]), int(st["bmin"])
     packed = (F.col(a).cast("long") - F.lit(amin)) * F.lit(1 << k) + (

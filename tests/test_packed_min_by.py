@@ -78,6 +78,12 @@ def test_packed_negative_values_ok(spark):
             [(1, -(2**62), 0), (1, 2**62, 1)],
             "k int, a long, b long",
         ),
+        # b alone needs a >=63-bit split: the 2^63 literal would overflow
+        # a Spark long even though a_range is 0
+        (
+            [(1, 5, -(2**62)), (1, 5, 2**62)],
+            "k int, a long, b long",
+        ),
     ],
 )
 def test_fallback_on_unsafe_values(spark, rows, schema):
